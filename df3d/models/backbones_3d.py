@@ -1,0 +1,143 @@
+"""Sparse 3D voxel backbones (the hosts' middle encoders), TPU-native.
+
+Behavioral equivalents of:
+  * VoxelBackBone8x      — VoxelRCNN/pcdet/models/backbones_3d/spconv_backbone.py:135-267
+  * SpMiddleResNetFHD    — CenterPoint/det3d/models/backbones/scn.py:98-191
+  * SparseEncoder        — TransFusion/mmdet3d/models/middle_encoders/sparse_encoder.py:12-205
+
+Design: every stage has a static max-voxel budget (`stage_caps`); conv plans
+are built once per coord-set and shared across all submanifold layers of a
+stage (the spconv indice_key pattern). The `fusion_hook` callback lets the
+fused variants (3D-DF) inject camera features between stages without
+subclassing — it receives the per-stage SparseTensors and returns a
+replacement for the fused one (SURVEY §2.2 integration points).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from df3d.ops.sparse import SparseTensor, build_conv_plan, build_subm_plan
+from .layers import SparseBasicBlock, SparseConvBNReLU
+
+
+def height_compress(st: SparseTensor) -> jnp.ndarray:
+    """Sparse tensor -> BEV map (B, Y, X, Z*C) (pcdet HeightCompression /
+    det3d .dense().view(N, C*D, H, W), channel-last here)."""
+    dense = st.to_dense()  # (B, Z, Y, X, C)
+    b, z, y, x, c = dense.shape
+    return dense.transpose(0, 2, 3, 1, 4).reshape(b, y, x, z * c)
+
+
+class SpMiddleResNetFHD(nn.Module):
+    """det3d resnet-style middle encoder. 8x BEV downsample + z-collapse.
+
+    stage_caps: static max voxel counts after each downsample (4 entries:
+    input/conv1, conv2, conv3, conv4). extra_conv output reuses conv4 cap.
+    """
+
+    num_input_features: int
+    stage_caps: Sequence[int]
+    fusion_hook: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool, fusion_kwargs=None):
+        c1, c2, c3, c4 = 16, 32, 64, 128
+        n1, n2, n3, n4 = self.stage_caps
+
+        plan1 = build_subm_plan(st, 3)
+        x = SparseConvBNReLU(c1, subm=True, name="conv_input")(st, plan1, train)
+        x = SparseBasicBlock(c1, name="res1a")(x, plan1, train)
+        x_conv1 = SparseBasicBlock(c1, name="res1b")(x, plan1, train)
+
+        down2 = build_conv_plan(x_conv1, 3, 2, 1, max_out=n2)
+        x = SparseConvBNReLU(c2, subm=False, name="down2")(x_conv1, down2, train)
+        plan2 = build_subm_plan(x, 3)
+        x = SparseBasicBlock(c2, name="res2a")(x, plan2, train)
+        x_conv2 = SparseBasicBlock(c2, name="res2b")(x, plan2, train)
+
+        down3 = build_conv_plan(x_conv2, 3, 2, 1, max_out=n3)
+        x = SparseConvBNReLU(c3, subm=False, name="down3")(x_conv2, down3, train)
+        plan3 = build_subm_plan(x, 3)
+        x = SparseBasicBlock(c3, name="res3a")(x, plan3, train)
+        x_conv3 = SparseBasicBlock(c3, name="res3b")(x, plan3, train)
+
+        down4 = build_conv_plan(x_conv3, 3, 2, (0, 1, 1), max_out=n4)
+        x = SparseConvBNReLU(c4, subm=False, name="down4")(x_conv3, down4, train)
+        plan4 = build_subm_plan(x, 3)
+        x = SparseBasicBlock(c4, name="res4a")(x, plan4, train)
+        x_conv4 = SparseBasicBlock(c4, name="res4b")(x, plan4, train)
+
+        if self.fusion_hook is not None:
+            x_conv4 = self.fusion_hook(
+                self, [x_conv2, x_conv3, x_conv4], train,
+                **(fusion_kwargs or {}),
+            )
+
+        extra = build_conv_plan(x_conv4, (3, 1, 1), (2, 1, 1), 0, max_out=n4)
+        out = SparseConvBNReLU(c4, subm=False, name="extra_conv")(x_conv4, extra, train)
+
+        bev = height_compress(out)
+        return bev, {
+            "conv1": x_conv1, "conv2": x_conv2, "conv3": x_conv3, "conv4": x_conv4,
+        }
+
+
+class VoxelBackBone8x(nn.Module):
+    """pcdet KITTI backbone: plain conv stacks, 16/32/64/64 channels,
+    conv_out to 128 with (3,1,1)/(2,1,1) (spconv_backbone.py:135-267)."""
+
+    num_input_features: int
+    stage_caps: Sequence[int]
+    fusion_hook: Optional[Callable] = None
+    out_channels: int = 128
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool, fusion_kwargs=None):
+        c1, c2, c3, c4 = 16, 32, 64, 64
+        n1, n2, n3, n4 = self.stage_caps
+
+        plan1 = build_subm_plan(st, 3)
+        x = SparseConvBNReLU(c1, subm=True, name="conv_input")(st, plan1, train)
+        x_conv1 = SparseConvBNReLU(c1, subm=True, name="conv1")(x, plan1, train)
+
+        if self.fusion_hook is not None:  # MVX early fusion @ stride 1
+            x_conv1 = self.fusion_hook(
+                self, [x_conv1], train, stage="conv1", **(fusion_kwargs or {})
+            )
+
+        down2 = build_conv_plan(x_conv1, 3, 2, 1, max_out=n2)
+        x = SparseConvBNReLU(c2, subm=False, name="down2")(x_conv1, down2, train)
+        plan2 = build_subm_plan(x, 3)
+        x = SparseConvBNReLU(c2, subm=True, name="conv2a")(x, plan2, train)
+        x_conv2 = SparseConvBNReLU(c2, subm=True, name="conv2b")(x, plan2, train)
+
+        down3 = build_conv_plan(x_conv2, 3, 2, 1, max_out=n3)
+        x = SparseConvBNReLU(c3, subm=False, name="down3")(x_conv2, down3, train)
+        plan3 = build_subm_plan(x, 3)
+        x = SparseConvBNReLU(c3, subm=True, name="conv3a")(x, plan3, train)
+        x_conv3 = SparseConvBNReLU(c3, subm=True, name="conv3b")(x, plan3, train)
+
+        down4 = build_conv_plan(x_conv3, 3, 2, (0, 1, 1), max_out=n4)
+        x = SparseConvBNReLU(c4, subm=False, name="down4")(x_conv3, down4, train)
+        plan4 = build_subm_plan(x, 3)
+        x = SparseConvBNReLU(c4, subm=True, name="conv4a")(x, plan4, train)
+        x_conv4 = SparseConvBNReLU(c4, subm=True, name="conv4b")(x, plan4, train)
+
+        if self.fusion_hook is not None:  # ACTR fusion @ stride 8
+            x_conv4 = self.fusion_hook(
+                self, [x_conv4], train, stage="conv4", **(fusion_kwargs or {})
+            )
+
+        out_plan = build_conv_plan(x_conv4, (3, 1, 1), (2, 1, 1), 0, max_out=n4)
+        out = SparseConvBNReLU(self.out_channels, subm=False, name="conv_out")(
+            x_conv4, out_plan, train
+        )
+
+        bev = height_compress(out)
+        return bev, {
+            "conv1": x_conv1, "conv2": x_conv2, "conv3": x_conv3, "conv4": x_conv4,
+        }

@@ -1,0 +1,158 @@
+"""Device-side voxelization: hash → sort → segment-reduce.
+
+TPU-native replacement for both reference voxelizers:
+  * the CPU spconv VoxelGenerator run inside dataloader workers
+    (VoxelRCNN/pcdet/datasets/processor/data_processor.py:115,
+    CenterPoint/det3d/datasets/pipelines/preprocess.py:381), and
+  * the CUDA `hard_voxelize` run inside the model
+    (TransFusion/mmdet3d/ops/voxel/voxelize.py:10-122, src/*.cu).
+
+Everything is static-shape: P input points (padded), `max_voxels` output
+slots, deterministic "first `max_points` per voxel" capping emulated by a
+stable sort + within-segment rank. Voxels come out sorted by spatial key
+(not arrival order like the CUDA kernel) — downstream consumers are
+order-independent, and sortedness is exactly what the sparse-conv rulebook
+wants, so we keep it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+class VoxelizationResult(NamedTuple):
+    features: jax.Array  # (max_voxels, F) mean of points in voxel
+    coords: jax.Array    # (max_voxels, 3) int32 (z, y, x); -1 padding
+    num_points: jax.Array  # (max_voxels,) int32 points per voxel (capped)
+    num_voxels: jax.Array  # () int32
+    point_voxel_id: jax.Array  # (P,) int32 voxel slot per point; -1 dropped
+
+
+def compute_voxel_coords(points, voxel_size, pc_range):
+    """(P, 3+) metric points -> (P, 3) int32 (z, y, x) grid coords."""
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    origin = jnp.asarray(pc_range[:3], jnp.float32)
+    xyz_idx = jnp.floor((points[..., :3] - origin) / vs).astype(jnp.int32)
+    return xyz_idx[..., ::-1]  # x,y,z -> z,y,x
+
+
+def voxelize(
+    points: jax.Array,
+    valid: jax.Array,
+    voxel_size,
+    pc_range,
+    grid_size,
+    max_voxels: int,
+    max_points_per_voxel: int = 10,
+) -> VoxelizationResult:
+    """Hard voxelization with mean pooling (fused MeanVFE).
+
+    points (P, F) with xyz first; valid (P,) masks padding rows.
+    grid_size = (Z, Y, X) static ints. All outputs static shape.
+    """
+    p = points.shape[0]
+    zg, yg, xg = grid_size
+    assert zg * yg * xg < 2**31
+
+    coords = compute_voxel_coords(points, voxel_size, pc_range)  # (P,3) zyx
+    in_range = (
+        valid
+        & (coords[:, 0] >= 0) & (coords[:, 0] < zg)
+        & (coords[:, 1] >= 0) & (coords[:, 1] < yg)
+        & (coords[:, 2] >= 0) & (coords[:, 2] < xg)
+    )
+    key = (coords[:, 0] * yg + coords[:, 1]) * xg + coords[:, 2]
+    key = jnp.where(in_range, key, _INT_MAX)
+
+    order = jnp.argsort(key, stable=True)
+    skey = key[order]
+
+    first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
+    first &= skey != _INT_MAX
+    voxel_id_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # (P,)
+    voxel_id_sorted = jnp.where(skey == _INT_MAX, max_voxels, voxel_id_sorted)
+
+    # within-voxel rank for the max_points cap (stable sort keeps file order)
+    idx = jnp.arange(p)
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, -1)
+    )
+    rank = idx - seg_start
+    keep = (rank < max_points_per_voxel) & (voxel_id_sorted < max_voxels)
+
+    feats_sorted = points[order]
+    seg_id = jnp.where(keep, voxel_id_sorted, max_voxels)
+    sums = jax.ops.segment_sum(
+        jnp.where(keep[:, None], feats_sorted, 0.0),
+        seg_id,
+        num_segments=max_voxels + 1,
+        indices_are_sorted=True,
+    )[:max_voxels]
+    counts = jax.ops.segment_sum(
+        keep.astype(jnp.int32), seg_id, num_segments=max_voxels + 1,
+        indices_are_sorted=True,
+    )[:max_voxels]
+    features = sums / jnp.maximum(counts, 1)[:, None]
+
+    # voxel coords: scatter the key's zyx at first-occurrence rows
+    out_coords = jnp.full((max_voxels, 3), -1, jnp.int32)
+    first_pos = jnp.where(first & (voxel_id_sorted < max_voxels), voxel_id_sorted, max_voxels)
+    out_coords = out_coords.at[first_pos].set(coords[order], mode="drop")
+
+    num_voxels = jnp.minimum(first.sum().astype(jnp.int32), max_voxels)
+
+    # map back: per original point, its voxel slot (or -1)
+    pv_sorted = jnp.where(keep, voxel_id_sorted, -1)
+    point_voxel_id = jnp.zeros((p,), jnp.int32).at[order].set(pv_sorted)
+
+    return VoxelizationResult(features, out_coords, counts, num_voxels, point_voxel_id)
+
+
+def voxelize_batch(
+    points: jax.Array,
+    valid: jax.Array,
+    voxel_size,
+    pc_range,
+    grid_size,
+    max_voxels: int,
+    max_points_per_voxel: int = 10,
+):
+    """vmapped voxelize over a leading batch dim; returns batched result plus
+    (B*max_voxels, 4) flattened (b, z, y, x) coords for the sparse backbone."""
+    res = jax.vmap(
+        lambda pts, v: voxelize(
+            pts, v, voxel_size, pc_range, grid_size, max_voxels,
+            max_points_per_voxel,
+        )
+    )(points, valid)
+    b = points.shape[0]
+    batch_idx = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, max_voxels)
+    )
+    flat_coords = jnp.concatenate(
+        [batch_idx.reshape(-1, 1), res.coords.reshape(-1, 3)], axis=-1
+    )
+    flat_coords = jnp.where(
+        res.coords.reshape(-1, 3)[:, :1] < 0, -1, flat_coords
+    )
+    flat_feats = res.features.reshape(b * max_voxels, -1)
+    return res, flat_feats, flat_coords
+
+
+def dynamic_voxelize(points, valid, voxel_size, pc_range, grid_size):
+    """Per-point voxel coords + in-range mask (reference dynamic_voxelize);
+    pair with segment reductions for dynamic VFEs / DynamicScatter."""
+    zg, yg, xg = grid_size
+    coords = compute_voxel_coords(points, voxel_size, pc_range)
+    in_range = (
+        valid
+        & (coords[:, 0] >= 0) & (coords[:, 0] < zg)
+        & (coords[:, 1] >= 0) & (coords[:, 1] < yg)
+        & (coords[:, 2] >= 0) & (coords[:, 2] < xg)
+    )
+    return coords, in_range

@@ -1,0 +1,104 @@
+"""End-to-end CenterPoint smoke test on tiny shapes: voxelize -> sparse
+backbone -> RPN -> CenterHead -> loss & predict, under jit.
+
+Mirrors the reference's config-driven forward smoke tests
+(TransFusion/tests/test_models/test_forward.py pattern: fabricate inputs,
+assert shapes and finite losses)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from df3d.models.detectors.centerpoint import (
+    CenterPoint, CenterPointConfig, centerpoint_loss, centerpoint_predict,
+)
+from df3d.ops.voxelize import voxelize_batch
+
+TINY = CenterPointConfig(
+    pc_range=(-16.0, -16.0, -2.0, 16.0, 16.0, 2.0),
+    voxel_size=(0.5, 0.5, 0.5),
+    grid_size=(8, 64, 64),
+    max_voxels=512,
+    num_point_features=4,
+    stage_caps=(1024, 512, 256, 128),
+    tasks=(1, 2),
+    out_size_factor=8,
+    code_weights=(1.0,) * 6 + (0.2, 0.2, 1.0, 1.0),
+    max_objs=16,
+    post_center_range=(-20.0, -20.0, -4.0, 20.0, 20.0, 4.0),
+    nms_pre_max_size=64,
+    nms_post_max_size=8,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-15, 15, (2, 600, 2)), rng.uniform(-1.8, 1.8, (2, 600, 1)),
+             rng.uniform(0, 1, (2, 600, 1))], axis=-1
+        ).astype(np.float32)
+    )
+    valid = jnp.ones((2, 600), bool)
+    _, feats, coords = voxelize_batch(
+        points, valid, TINY.voxel_size, TINY.pc_range, TINY.grid_size,
+        TINY.max_voxels, TINY.max_points_per_voxel,
+    )
+    model = CenterPoint(TINY)
+    variables = model.init(jax.random.PRNGKey(0), feats, coords, 2, train=False)
+    return model, variables, feats, coords
+
+
+def test_forward_shapes(setup):
+    model, variables, feats, coords = setup
+    preds, ms = model.apply(variables, feats, coords, 2, train=False)
+    assert len(preds) == 2  # tasks
+    b, h, w, _ = preds[0]["hm"].shape
+    assert (b, h, w) == (2, 8, 8)
+    assert preds[0]["hm"].shape[-1] == 1 and preds[1]["hm"].shape[-1] == 2
+    assert preds[0]["reg"].shape[-1] == 2
+    assert preds[0]["dim"].shape[-1] == 3
+    assert set(ms.keys()) == {"conv1", "conv2", "conv3", "conv4"}
+
+
+def test_loss_finite_and_differentiable(setup):
+    model, variables, feats, coords = setup
+    gt = jnp.array(
+        [[[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.3, 0.0, 0.0],
+          [5.0, 5.0, 0.0, 2.0, 2.0, 2.0, 0.0, 1.0, 0.0]]] * 2
+    )
+    gt_cls = jnp.array([[0, 2]] * 2)
+    gt_valid = jnp.ones((2, 2), bool)
+
+    def loss_fn(params):
+        preds, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            feats, coords, 2, train=True,
+            mutable=["batch_stats"],
+        )[0]
+        total, logs = centerpoint_loss(TINY, preds, gt, gt_cls, gt_valid)
+        return total, logs
+
+    (total, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(total))
+    assert float(total) > 0
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.abs(x).sum(), grads, 0.0
+    )
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_predict_static_shapes(setup):
+    model, variables, feats, coords = setup
+    preds, _ = model.apply(variables, feats, coords, 2, train=False)
+    out = jax.jit(lambda p: centerpoint_predict(TINY, p))(preds)
+    k = 2 * TINY.nms_post_max_size  # tasks * post_max
+    assert out["boxes"].shape == (2, k, 9)
+    assert out["scores"].shape == (2, k)
+    assert out["labels"].shape == (2, k)
+    assert out["valid"].shape == (2, k)
+    assert np.isfinite(np.asarray(out["boxes"])).all()

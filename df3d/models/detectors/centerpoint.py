@@ -36,7 +36,7 @@ class CenterPointConfig:
     max_voxels: int = 120_000  # per sample (train; det3d cfg 120k/160k)
     max_points_per_voxel: int = 10
     num_point_features: int = 5
-    # backbone caps after each downsample stage (per BATCH, flattened rows)
+    # backbone caps after each downsample stage (per sample)
     stage_caps: tuple = (120_000, 90_000, 60_000, 30_000)
     # head
     tasks: tuple = (1, 2, 2, 1, 2, 2)  # nuScenes 6-task split
@@ -69,13 +69,11 @@ class CenterPoint(nn.Module):
     cfg: CenterPointConfig
 
     @nn.compact
-    def __call__(self, voxel_features, voxel_coords, batch_size, train: bool):
-        """voxel_features (N, F) flat across batch; voxel_coords (N, 4)
-        (b, z, y, x) with -1 padding rows."""
-        st = SparseTensor(
-            voxel_features, voxel_coords, self.cfg.sparse_shape, batch_size
-        )
-        caps = tuple(min(c, voxel_features.shape[0]) for c in self.cfg.stage_caps)
+    def __call__(self, voxel_features, voxel_coords, train: bool):
+        """voxel_features (B, V, F); voxel_coords (B, V, 3) (z, y, x) with
+        -1 padding rows."""
+        st = SparseTensor(voxel_features, voxel_coords, self.cfg.sparse_shape)
+        caps = tuple(min(c, voxel_features.shape[1]) for c in self.cfg.stage_caps)
         bev, ms = SpMiddleResNetFHD(
             self.cfg.num_point_features, caps, name="backbone"
         )(st, train)

@@ -21,7 +21,8 @@ from df3d.ops.sparse import ConvPlan, SparseTensor, apply_sparse_conv
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over the valid rows of a padded (N, C) feature matrix."""
+    """BatchNorm over the valid rows of padded (..., C) features; stats are
+    pooled over all leading dims (so batch + rows), masked."""
 
     momentum: float = 0.99  # torch momentum 0.01 == flax-style 0.99
     eps: float = 1e-3
@@ -30,6 +31,7 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
         c = x.shape[-1]
+        red = tuple(range(x.ndim - 1))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c))
         scale = self.param("scale", nn.initializers.ones, (c,))
@@ -37,10 +39,10 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             xf = x.astype(jnp.float32)
-            m = mask.astype(jnp.float32)[:, None]
+            m = mask.astype(jnp.float32)[..., None]
             cnt = jnp.maximum(m.sum(), 1.0)
-            mean = (xf * m).sum(0) / cnt
-            var = ((xf - mean) ** 2 * m).sum(0) / cnt
+            mean = (xf * m).sum(red) / cnt
+            var = (jnp.square(xf - mean) * m).sum(red) / cnt
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -49,7 +51,7 @@ class MaskedBatchNorm(nn.Module):
 
         inv = jax.lax.rsqrt(var + self.eps) * scale
         y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias.astype(x.dtype)
-        return jnp.where(mask[:, None], y, 0.0)
+        return jnp.where(mask[..., None], y, 0.0)
 
 
 def _kaiming_taps(key, shape, dtype=jnp.float32):
@@ -87,9 +89,7 @@ class SparseConv3d(nn.Module):
             "kernel", _kaiming_taps, (k, st.features.shape[-1], self.out_channels)
         )
         feats = apply_sparse_conv(st.features, plan, w)
-        return SparseTensor(
-            feats, plan.out_coords, plan.out_spatial_shape, st.batch_size
-        )
+        return SparseTensor(feats, plan.out_coords, plan.out_spatial_shape)
 
 
 class SparseConvBNReLU(nn.Module):

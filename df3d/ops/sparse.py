@@ -5,15 +5,16 @@ Replaces the reference's vendored/pip spconv
 indice_cuda.cu, gather-GEMM-scatter in reordering*.cu; Python
 structure.py/conv.py/ops.py) with a TPU-native design:
 
-  * `SparseTensor` — features (N, C) + coords (N, 4)=(b, z, y, x) padded to
-    a static N; padding rows have coords -1. Coords are kept SORTED by
-    linearized key (the voxelizer emits them sorted; conv plans preserve
-    sortedness), which makes neighbor lookup a searchsorted instead of a
-    hash table.
+  * `SparseTensor` — features (B, N, C) + coords (B, N, 3)=(z, y, x) padded
+    to a static N per sample; padding rows have coords -1. The batch axis is
+    a REAL array axis (never flattened), so sharding it over the data mesh
+    keeps every sort/searchsorted sample-local — no cross-device collectives
+    inside the backbone under data parallelism.
   * `build_subm_plan` / `build_conv_plan` — the rulebook: for every output
-    site and kernel offset, the row index of the contributing input (or N
-    for "none"). Pure XLA sort/searchsorted; computed once per coords-set
-    and reused across layers exactly like spconv's indice_key.
+    site and kernel tap, the row index of the contributing input (or N for
+    "none"). Pure XLA sort/searchsorted, vmapped over the batch; computed
+    once per coords-set and reused across layers exactly like spconv's
+    indice_key.
   * `apply_sparse_conv` — gather-GEMM-scatter as a lax.scan of K dense
     matmuls on the MXU with masked gathers; no scatter conflicts because
     the formulation PULLS into output rows.
@@ -26,7 +27,6 @@ strided SparseConv3d generates the union of reachable output sites
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Sequence
 
 import jax
@@ -42,40 +42,46 @@ def _triple(v) -> tuple[int, int, int]:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SparseTensor:
-    """Batched sparse voxel tensor with static row count."""
+    """Batched sparse voxel tensor with static per-sample row count."""
 
-    features: jax.Array  # (N, C)
-    coords: jax.Array    # (N, 4) int32 (b, z, y, x); -1 rows are padding
+    features: jax.Array  # (B, N, C)
+    coords: jax.Array    # (B, N, 3) int32 (z, y, x); -1 rows are padding
     spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
-    batch_size: int = dataclasses.field(metadata=dict(static=True))
 
     @property
-    def valid(self) -> jax.Array:
-        return self.coords[:, 0] >= 0
+    def valid(self) -> jax.Array:  # (B, N)
+        return self.coords[..., 0] >= 0
+
+    @property
+    def batch_size(self) -> int:
+        return self.features.shape[0]
 
     @property
     def num_rows(self) -> int:
-        return self.features.shape[0]
+        return self.features.shape[1]
 
     def with_features(self, features: jax.Array) -> "SparseTensor":
         return dataclasses.replace(self, features=features)
 
     def keys(self) -> jax.Array:
-        """Linearized (b, z, y, x) keys; padding rows -> INT_MAX."""
+        """(B, N) linearized spatial keys; padding rows -> INT_MAX."""
         z, y, x = self.spatial_shape
-        assert self.batch_size * z * y * x < 2**31, "int32 key overflow"
+        assert z * y * x < 2**31, "int32 key overflow"
         c = self.coords
-        key = ((c[:, 0] * z + c[:, 1]) * y + c[:, 2]) * x + c[:, 3]
+        key = (c[..., 0] * y + c[..., 1]) * x + c[..., 2]
         return jnp.where(self.valid, key, _INT_MAX)
 
     def to_dense(self) -> jax.Array:
         """-> (B, Z, Y, X, C) dense tensor."""
         z, y, x = self.spatial_shape
         c = self.features.shape[-1]
-        flat = jnp.zeros((self.batch_size * z * y * x, c), self.features.dtype)
-        key = jnp.where(self.valid, self.keys(), self.batch_size * z * y * x)
-        flat = flat.at[key].set(self.features, mode="drop")
-        return flat.reshape(self.batch_size, z, y, x, c)
+
+        def one(feats, keys, valid):
+            flat = jnp.zeros((z * y * x, c), feats.dtype)
+            k = jnp.where(valid, keys, z * y * x)
+            return flat.at[k].set(feats, mode="drop").reshape(z, y, x, c)
+
+        return jax.vmap(one)(self.features, self.keys(), self.valid)
 
 
 def _kernel_offsets(ksize: Sequence[int]) -> jnp.ndarray:
@@ -87,157 +93,148 @@ def _kernel_offsets(ksize: Sequence[int]) -> jnp.ndarray:
     return jnp.stack([oz, oy, ox], axis=-1).reshape(-1, 3).astype(jnp.int32)
 
 
-def _lookup(sorted_keys: jax.Array, query: jax.Array, row_of_sorted: jax.Array, n: int):
-    """Find rows whose key == query. Returns (row_idx, found) with row_idx=n
-    when missing (points at the zero pad row)."""
+def _lookup(sorted_keys, query, row_of_sorted, n):
+    """Rows whose key == query; n ('no match') points at the zero pad row."""
     pos = jnp.searchsorted(sorted_keys, query, method="sort")
     pos = jnp.minimum(pos, sorted_keys.shape[0] - 1)
     found = sorted_keys[pos] == query
-    row = jnp.where(found, row_of_sorted[pos], n)
-    return row, found
+    return jnp.where(found, row_of_sorted[pos], n)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ConvPlan:
-    """Gather plan: for each output row and kernel tap, the input row index
-    (or N_in for 'no contribution'). Reusable across layers with identical
-    coords — the analog of spconv's indice_key."""
+    """Gather plan: for each sample, output row and kernel tap, the input row
+    index (or N_in for 'no contribution'). Reusable across layers with
+    identical coords — the analog of spconv's indice_key."""
 
-    gather_idx: jax.Array  # (N_out, K) int32 in [0, N_in]
-    out_coords: jax.Array  # (N_out, 4) int32
+    gather_idx: jax.Array  # (B, N_out, K) int32 in [0, N_in]
+    out_coords: jax.Array  # (B, N_out, 3) int32
     out_spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     kernel_size: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
 
 
 def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
-    """Submanifold plan: output sites = input sites; neighbor at offset k is
+    """Submanifold plan: output sites = input sites; neighbor at tap k is
     input site + k - (ksize-1)//2."""
     ksize = _triple(ksize)
     z, y, x = st.spatial_shape
     n = st.num_rows
-    keys = st.keys()
-    order = jnp.argsort(keys)
-    sorted_keys = keys[order]
+    offs = _kernel_offsets(ksize) - (jnp.asarray(ksize, jnp.int32) - 1) // 2
 
-    offs = _kernel_offsets(ksize) - (jnp.asarray(ksize, jnp.int32) - 1) // 2  # (K,3)
-    nbr = st.coords[:, None, 1:] + offs[None]  # (N, K, 3)
-    in_bounds = (
-        (nbr[..., 0] >= 0) & (nbr[..., 0] < z)
-        & (nbr[..., 1] >= 0) & (nbr[..., 1] < y)
-        & (nbr[..., 2] >= 0) & (nbr[..., 2] < x)
-        & st.valid[:, None]
-    )
-    qkey = ((st.coords[:, None, 0] * z + nbr[..., 0]) * y + nbr[..., 1]) * x + nbr[..., 2]
-    qkey = jnp.where(in_bounds, qkey, _INT_MAX - 1)  # never matches a real key
-    row, _ = _lookup(sorted_keys, qkey.reshape(-1), order, n)
-    return ConvPlan(row.reshape(n, -1), st.coords, st.spatial_shape, ksize)
+    def one(coords, keys, valid):
+        order = jnp.argsort(keys)
+        sorted_keys = keys[order]
+        nbr = coords[:, None, :] + offs[None]  # (N, K, 3)
+        ok = (
+            (nbr[..., 0] >= 0) & (nbr[..., 0] < z)
+            & (nbr[..., 1] >= 0) & (nbr[..., 1] < y)
+            & (nbr[..., 2] >= 0) & (nbr[..., 2] < x)
+            & valid[:, None]
+        )
+        qkey = (nbr[..., 0] * y + nbr[..., 1]) * x + nbr[..., 2]
+        qkey = jnp.where(ok, qkey, _INT_MAX - 1)
+        return _lookup(sorted_keys, qkey.reshape(-1), order, n).reshape(n, -1)
+
+    gather = jax.vmap(one)(st.coords, st.keys(), st.valid)
+    return ConvPlan(gather, st.coords, st.spatial_shape, ksize)
 
 
-def build_conv_plan(
-    st: SparseTensor, ksize, stride, padding, max_out: int
-) -> ConvPlan:
+def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> ConvPlan:
     """Strided sparse conv plan (SparseConv3d semantics).
 
     Output sites: all o with o*stride - padding + k == some input site for
-    some tap k, deduped. Then for each output and tap, gather the input at
-    i = o*stride - padding + k.
+    some tap k, deduped per sample. Then for each output and tap, gather the
+    input at i = o*stride - padding + k.
     """
     ksize, stride, padding = _triple(ksize), _triple(stride), _triple(padding)
     z, y, x = st.spatial_shape
     oz = (z + 2 * padding[0] - ksize[0]) // stride[0] + 1
     oy = (y + 2 * padding[1] - ksize[1]) // stride[1] + 1
     ox = (x + 2 * padding[2] - ksize[2]) // stride[2] + 1
+    assert min(oz, oy, ox) > 0, (
+        f"conv collapses spatial shape {st.spatial_shape} -> {(oz, oy, ox)}"
+    )
+    assert oz * oy * ox < 2**31
     n = st.num_rows
 
-    offs = _kernel_offsets(ksize)  # (K, 3)
+    offs = _kernel_offsets(ksize)
     kst = jnp.asarray(stride, jnp.int32)
     kpd = jnp.asarray(padding, jnp.int32)
 
-    # candidate outputs: o = (i + pad - k) / stride where divisible & in range
-    num = st.coords[:, None, 1:] + kpd[None, None] - offs[None]  # (N, K, 3)
-    div_ok = (num % kst[None, None] == 0).all(-1) & (num >= 0).all(-1)
-    cand = num // kst[None, None]
-    in_bounds = (
-        (cand[..., 0] < oz) & (cand[..., 1] < oy) & (cand[..., 2] < ox)
-    )
-    ok = div_ok & in_bounds & st.valid[:, None]
-    assert st.batch_size * oz * oy * ox < 2**31
-    cand_key = (
-        ((st.coords[:, None, 0] * oz + cand[..., 0]) * oy + cand[..., 1]) * ox
-        + cand[..., 2]
-    )
-    cand_key = jnp.where(ok, cand_key, _INT_MAX).reshape(-1)
+    def one(coords, keys, valid):
+        # candidate outputs: o = (i + pad - k) / stride, integer & in range
+        num = coords[:, None, :] + kpd[None, None] - offs[None]  # (N, K, 3)
+        ok = (num % kst[None, None] == 0).all(-1) & (num >= 0).all(-1)
+        cand = num // kst[None, None]
+        ok &= (cand[..., 0] < oz) & (cand[..., 1] < oy) & (cand[..., 2] < ox)
+        ok &= valid[:, None]
+        cand_key = (cand[..., 0] * oy + cand[..., 1]) * ox + cand[..., 2]
+        cand_key = jnp.where(ok, cand_key, _INT_MAX).reshape(-1)
 
-    skey = jnp.sort(cand_key)
-    first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
-    first &= skey != _INT_MAX
-    uid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    slot = jnp.where(first & (uid < max_out), uid, max_out)
-    out_key = jnp.full((max_out,), _INT_MAX, jnp.int32).at[slot].set(skey, mode="drop")
+        skey = jnp.sort(cand_key)
+        first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
+        first &= skey != _INT_MAX
+        uid = jnp.cumsum(first.astype(jnp.int32)) - 1
+        slot = jnp.where(first & (uid < max_out), uid, max_out)
+        out_key = jnp.full((max_out,), _INT_MAX, jnp.int32).at[slot].set(
+            skey, mode="drop"
+        )
 
-    # unpack output coords from keys
-    ovalid = out_key != _INT_MAX
-    k_ = jnp.where(ovalid, out_key, 0)
-    cx = k_ % ox
-    k_ = k_ // ox
-    cy = k_ % oy
-    k_ = k_ // oy
-    cz = k_ % oz
-    cb = k_ // oz
-    out_coords = jnp.where(
-        ovalid[:, None],
-        jnp.stack([cb, cz, cy, cx], axis=-1).astype(jnp.int32),
-        -1,
-    )
+        ovalid = out_key != _INT_MAX
+        k_ = jnp.where(ovalid, out_key, 0)
+        cx = k_ % ox
+        k_ = k_ // ox
+        cy = k_ % oy
+        cz = k_ // oy
+        out_coords = jnp.where(
+            ovalid[:, None], jnp.stack([cz, cy, cx], -1).astype(jnp.int32), -1
+        )
 
-    # gather rule: input coord = o*stride - pad + k
-    keys = st.keys()
-    order = jnp.argsort(keys)
-    sorted_keys = keys[order]
-    src = out_coords[:, None, 1:] * kst[None, None] - kpd[None, None] + offs[None]
-    src_ok = (
-        (src[..., 0] >= 0) & (src[..., 0] < z)
-        & (src[..., 1] >= 0) & (src[..., 1] < y)
-        & (src[..., 2] >= 0) & (src[..., 2] < x)
-        & ovalid[:, None]
-    )
-    qkey = (
-        ((out_coords[:, None, 0] * z + src[..., 0]) * y + src[..., 1]) * x
-        + src[..., 2]
-    )
-    qkey = jnp.where(src_ok, qkey, _INT_MAX - 1)
-    row, _ = _lookup(sorted_keys, qkey.reshape(-1), order, n)
-    return ConvPlan(row.reshape(max_out, -1), out_coords, (oz, oy, ox), ksize)
+        # gather rule: input coord = o*stride - pad + k
+        order = jnp.argsort(keys)
+        sorted_keys = keys[order]
+        src = out_coords[:, None, :] * kst[None, None] - kpd[None, None] + offs[None]
+        src_ok = (
+            (src[..., 0] >= 0) & (src[..., 0] < z)
+            & (src[..., 1] >= 0) & (src[..., 1] < y)
+            & (src[..., 2] >= 0) & (src[..., 2] < x)
+            & ovalid[:, None]
+        )
+        qkey = (src[..., 0] * y + src[..., 1]) * x + src[..., 2]
+        qkey = jnp.where(src_ok, qkey, _INT_MAX - 1)
+        gidx = _lookup(sorted_keys, qkey.reshape(-1), order, n).reshape(max_out, -1)
+        return gidx, out_coords
+
+    gather, out_coords = jax.vmap(one)(st.coords, st.keys(), st.valid)
+    return ConvPlan(gather, out_coords, (oz, oy, ox), ksize)
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def apply_sparse_conv(
-    features: jax.Array,
-    plan: ConvPlan,
-    weights: jax.Array,
-    precision=None,
-) -> jax.Array:
+def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
+                      precision=None) -> jax.Array:
     """Gather-GEMM-scatter conv body.
 
-    features (N_in, Cin); weights (K, Cin, Cout) with K = prod(kernel_size)
+    features (B, N_in, Cin); weights (K, Cin, Cout) with K = prod(kernel)
     in the same row-major (z, y, x) tap order as the plan.
-    Returns (N_out, Cout). MXU path: one (N_out, Cin) x (Cin, Cout) matmul
-    per tap via lax.scan (bounded memory, XLA pipelines the gathers).
+    Returns (B, N_out, Cout). MXU path: one (B*N_out, Cin) x (Cin, Cout)
+    matmul per tap via lax.scan (bounded memory, XLA pipelines the gathers).
     """
+    b, _, cin = features.shape
     padded = jnp.concatenate(
-        [features, jnp.zeros((1, features.shape[-1]), features.dtype)], axis=0
+        [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
     )
 
     def tap(acc, inputs):
-        idx_k, w_k = inputs
-        gathered = padded[idx_k]  # (N_out, Cin); idx N_in -> zero row
-        return acc + jnp.dot(
-            gathered, w_k, preferred_element_type=jnp.float32,
-            precision=precision,
+        idx_k, w_k = inputs  # (B, N_out), (Cin, Cout)
+        gathered = jnp.take_along_axis(padded, idx_k[..., None], axis=1)
+        return acc + jnp.einsum(
+            "bnc,cd->bnd", gathered, w_k,
+            preferred_element_type=jnp.float32, precision=precision,
         ), None
 
-    n_out = plan.gather_idx.shape[0]
-    acc0 = jnp.zeros((n_out, weights.shape[-1]), jnp.float32)
-    acc, _ = jax.lax.scan(tap, acc0, (plan.gather_idx.T, weights))
+    n_out = plan.gather_idx.shape[1]
+    acc0 = jnp.zeros((b, n_out, weights.shape[-1]), jnp.float32)
+    acc, _ = jax.lax.scan(
+        tap, acc0, (plan.gather_idx.transpose(2, 0, 1), weights)
+    )
     return acc.astype(features.dtype)

@@ -121,27 +121,16 @@ def voxelize_batch(
     grid_size,
     max_voxels: int,
     max_points_per_voxel: int = 10,
-):
-    """vmapped voxelize over a leading batch dim; returns batched result plus
-    (B*max_voxels, 4) flattened (b, z, y, x) coords for the sparse backbone."""
-    res = jax.vmap(
+) -> VoxelizationResult:
+    """vmapped voxelize over the leading batch dim: features (B, V, F),
+    coords (B, V, 3). The batch axis stays explicit so it shards over the
+    data mesh with no cross-sample collectives."""
+    return jax.vmap(
         lambda pts, v: voxelize(
             pts, v, voxel_size, pc_range, grid_size, max_voxels,
             max_points_per_voxel,
         )
     )(points, valid)
-    b = points.shape[0]
-    batch_idx = jnp.broadcast_to(
-        jnp.arange(b, dtype=jnp.int32)[:, None], (b, max_voxels)
-    )
-    flat_coords = jnp.concatenate(
-        [batch_idx.reshape(-1, 1), res.coords.reshape(-1, 3)], axis=-1
-    )
-    flat_coords = jnp.where(
-        res.coords.reshape(-1, 3)[:, :1] < 0, -1, flat_coords
-    )
-    flat_feats = res.features.reshape(b * max_voxels, -1)
-    return res, flat_feats, flat_coords
 
 
 def dynamic_voxelize(points, valid, voxel_size, pc_range, grid_size):

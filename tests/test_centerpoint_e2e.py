@@ -16,9 +16,9 @@ from df3d.models.detectors.centerpoint import (
 from df3d.ops.voxelize import voxelize_batch
 
 TINY = CenterPointConfig(
-    pc_range=(-16.0, -16.0, -2.0, 16.0, 16.0, 2.0),
-    voxel_size=(0.5, 0.5, 0.5),
-    grid_size=(8, 64, 64),
+    pc_range=(-16.0, -16.0, -2.4, 16.0, 16.0, 2.4),
+    voxel_size=(0.5, 0.5, 0.2),
+    grid_size=(24, 64, 64),
     max_voxels=512,
     num_point_features=4,
     stage_caps=(1024, 512, 256, 128),
@@ -42,18 +42,19 @@ def setup():
         ).astype(np.float32)
     )
     valid = jnp.ones((2, 600), bool)
-    _, feats, coords = voxelize_batch(
+    res = voxelize_batch(
         points, valid, TINY.voxel_size, TINY.pc_range, TINY.grid_size,
         TINY.max_voxels, TINY.max_points_per_voxel,
     )
+    feats, coords = res.features, res.coords
     model = CenterPoint(TINY)
-    variables = model.init(jax.random.PRNGKey(0), feats, coords, 2, train=False)
+    variables = model.init(jax.random.PRNGKey(0), feats, coords, train=False)
     return model, variables, feats, coords
 
 
 def test_forward_shapes(setup):
     model, variables, feats, coords = setup
-    preds, ms = model.apply(variables, feats, coords, 2, train=False)
+    preds, ms = model.apply(variables, feats, coords, train=False)
     assert len(preds) == 2  # tasks
     b, h, w, _ = preds[0]["hm"].shape
     assert (b, h, w) == (2, 8, 8)
@@ -75,7 +76,7 @@ def test_loss_finite_and_differentiable(setup):
     def loss_fn(params):
         preds, _ = model.apply(
             {"params": params, "batch_stats": variables["batch_stats"]},
-            feats, coords, 2, train=True,
+            feats, coords, train=True,
             mutable=["batch_stats"],
         )[0]
         total, logs = centerpoint_loss(TINY, preds, gt, gt_cls, gt_valid)
@@ -94,7 +95,7 @@ def test_loss_finite_and_differentiable(setup):
 
 def test_predict_static_shapes(setup):
     model, variables, feats, coords = setup
-    preds, _ = model.apply(variables, feats, coords, 2, train=False)
+    preds, _ = model.apply(variables, feats, coords, train=False)
     out = jax.jit(lambda p: centerpoint_predict(TINY, p))(preds)
     k = 2 * TINY.nms_post_max_size  # tasks * post_max
     assert out["boxes"].shape == (2, k, 9)

@@ -15,17 +15,20 @@ from df3d.ops.sparse import (
 
 
 def _random_sparse(rng, batch=2, shape=(8, 12, 12), n=64, cin=5, pad_to=96):
-    coords = set()
-    while len(coords) < n:
-        b = rng.randint(batch)
-        c = tuple(rng.randint(0, s) for s in shape)
-        coords.add((b,) + c)
-    coords = np.array(sorted(coords), np.int32)
-    feats = rng.randn(n, cin).astype(np.float32)
-    pad = pad_to - n
-    coords = np.concatenate([coords, -np.ones((pad, 4), np.int32)])
-    feats = np.concatenate([feats, np.zeros((pad, cin), np.float32)])
-    return SparseTensor(jnp.asarray(feats), jnp.asarray(coords), shape, batch)
+    """Per-sample random occupancy: (B, pad_to) rows, n valid."""
+    all_coords, all_feats = [], []
+    for _ in range(batch):
+        sites = set()
+        while len(sites) < n:
+            sites.add(tuple(rng.randint(0, s) for s in shape))
+        coords = np.array(sorted(sites), np.int32)
+        feats = rng.randn(n, cin).astype(np.float32)
+        pad = pad_to - n
+        all_coords.append(np.concatenate([coords, -np.ones((pad, 3), np.int32)]))
+        all_feats.append(np.concatenate([feats, np.zeros((pad, cin), np.float32)]))
+    return SparseTensor(
+        jnp.asarray(np.stack(all_feats)), jnp.asarray(np.stack(all_coords)), shape
+    )
 
 
 def _dense_conv(dense, weights, ksize, stride, pad):
@@ -39,49 +42,47 @@ def _dense_conv(dense, weights, ksize, stride, pad):
     )
 
 
+def _check_against_dense(st_or_coords, got, ref):
+    coords = np.asarray(st_or_coords)
+    got = np.asarray(got)
+    ref = np.asarray(ref)
+    for b in range(coords.shape[0]):
+        for i, (z, y, x) in enumerate(coords[b]):
+            if z < 0:
+                continue
+            np.testing.assert_allclose(got[b, i], ref[b, z, y, x], atol=1e-4)
+
+
 def test_subm_conv_matches_dense_at_input_sites():
     rng = np.random.RandomState(0)
     st = _random_sparse(rng)
     w = jnp.asarray(rng.randn(27, 5, 7).astype(np.float32) * 0.1)
     plan = build_subm_plan(st, 3)
     out = apply_sparse_conv(st.features, plan, w)
-
-    dense = st.to_dense()
-    ref = _dense_conv(dense, w, (3, 3, 3), 1, 1)
-    coords = np.asarray(st.coords)
+    ref = _dense_conv(st.to_dense(), w, (3, 3, 3), 1, 1)
+    _check_against_dense(st.coords, out, ref)
+    # padding rows produce zeros (gather hits the zero pad row)
     got = np.asarray(out)
-    ref = np.asarray(ref)
-    for i, (b, z, y, x) in enumerate(coords):
-        if b < 0:
-            continue
-        np.testing.assert_allclose(got[i], ref[b, z, y, x], atol=1e-4)
-    # subm: padding rows produce zeros (gather hits the zero pad row)
-    assert np.abs(got[coords[:, 0] < 0]).max() == 0.0
+    pad_mask = np.asarray(st.coords)[..., 0] < 0
+    assert np.abs(got[pad_mask]).max() == 0.0
 
 
 def test_strided_conv_matches_dense():
     rng = np.random.RandomState(1)
     st = _random_sparse(rng, shape=(8, 12, 12), n=80, pad_to=96)
     w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.1)
-    plan = build_conv_plan(st, 3, 2, 1, max_out=96)
+    plan = build_conv_plan(st, 3, 2, 1, max_out=160)
     out = apply_sparse_conv(st.features, plan, w)
-
-    dense = st.to_dense()
-    ref = np.asarray(_dense_conv(dense, w, (3, 3, 3), 2, 1))
+    ref = np.asarray(_dense_conv(st.to_dense(), w, (3, 3, 3), 2, 1))
     assert plan.out_spatial_shape == (4, 6, 6)
-    oc = np.asarray(plan.out_coords)
-    got = np.asarray(out)
-    n_valid = (oc[:, 0] >= 0).sum()
-    assert n_valid > 0
-    for i, (b, z, y, x) in enumerate(oc):
-        if b < 0:
-            continue
-        np.testing.assert_allclose(got[i], ref[b, z, y, x], atol=1e-4)
+    _check_against_dense(plan.out_coords, out, ref)
     # every nonzero dense output site must be covered by the plan
-    nz = np.argwhere(np.abs(ref).sum(-1) > 1e-6)
-    covered = {tuple(c) for c in oc if c[0] >= 0}
-    for site in nz:
-        assert tuple(site) in covered
+    oc = np.asarray(plan.out_coords)
+    for b in range(2):
+        nz = np.argwhere(np.abs(ref[b]).sum(-1) > 1e-6)
+        covered = {tuple(c) for c in oc[b] if c[0] >= 0}
+        for site in nz:
+            assert tuple(site) in covered
 
 
 def test_asymmetric_kernel_stride():
@@ -91,20 +92,12 @@ def test_asymmetric_kernel_stride():
     w = jnp.asarray(rng.randn(3, 5, 4).astype(np.float32) * 0.1)
     plan = build_conv_plan(st, (3, 1, 1), (2, 1, 1), (0, 0, 0), max_out=64)
     out = apply_sparse_conv(st.features, plan, w)
-    dense = st.to_dense()
     wf = w.reshape(3, 1, 1, 5, 4)
-    ref = np.asarray(
-        jax.lax.conv_general_dilated(
-            dense, wf, window_strides=(2, 1, 1), padding=[(0, 0)] * 3,
-            dimension_numbers=("NZYXC", "ZYXIO", "NZYXC"),
-        )
+    ref = jax.lax.conv_general_dilated(
+        st.to_dense(), wf, window_strides=(2, 1, 1), padding=[(0, 0)] * 3,
+        dimension_numbers=("NZYXC", "ZYXIO", "NZYXC"),
     )
-    oc = np.asarray(plan.out_coords)
-    got = np.asarray(out)
-    for i, (b, z, y, x) in enumerate(oc):
-        if b < 0:
-            continue
-        np.testing.assert_allclose(got[i], ref[b, z, y, x], atol=1e-4)
+    _check_against_dense(plan.out_coords, out, ref)
 
 
 def test_plan_reuse_is_pure_function_of_coords():
@@ -121,12 +114,25 @@ def test_to_dense_round_trip():
     dense = np.asarray(st.to_dense())
     coords = np.asarray(st.coords)
     feats = np.asarray(st.features)
-    for i, (b, z, y, x) in enumerate(coords):
-        if b < 0:
-            continue
-        np.testing.assert_allclose(dense[b, z, y, x], feats[i])
-    assert dense.sum() != 0
-    # total mass conserved
+    for b in range(2):
+        for i, (z, y, x) in enumerate(coords[b]):
+            if z < 0:
+                continue
+            np.testing.assert_allclose(dense[b, z, y, x], feats[b, i])
     np.testing.assert_allclose(
-        dense.sum(), feats[coords[:, 0] >= 0].sum(), rtol=1e-5
+        dense.sum(), feats[coords[..., 0] >= 0].sum(), rtol=1e-5
     )
+
+
+def test_batch_independence():
+    """Conv of a batch == conv of each sample alone (no cross-sample leaks)."""
+    rng = np.random.RandomState(5)
+    st = _random_sparse(rng, batch=2, n=40, pad_to=48)
+    w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.1)
+    plan = build_subm_plan(st, 3)
+    out = np.asarray(apply_sparse_conv(st.features, plan, w))
+    for b in range(2):
+        solo = SparseTensor(st.features[b:b+1], st.coords[b:b+1], st.spatial_shape)
+        plan_b = build_subm_plan(solo, 3)
+        out_b = np.asarray(apply_sparse_conv(solo.features, plan_b, w))[0]
+        np.testing.assert_allclose(out[b], out_b, atol=1e-5)

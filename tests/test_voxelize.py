@@ -55,21 +55,22 @@ def test_voxelize_cap_and_padding():
     assert (pv == 0).sum() == 3 and (pv == -1).sum() == 17
 
 
-def test_voxelize_batch_flat_coords():
+def test_voxelize_batch_shapes():
     rng = np.random.RandomState(1)
     pts = jnp.asarray(rng.uniform(-4, 4, (2, 100, 4)).astype(np.float32))
     valid = jnp.ones((2, 100), bool)
-    res, flat_feats, flat_coords = V.voxelize_batch(
+    res = V.voxelize_batch(
         pts, valid, (0.5, 0.5, 0.5), (-4, -4, -4, 4, 4, 4), (16, 16, 16),
         max_voxels=128,
     )
-    assert flat_feats.shape == (256, 4)
-    assert flat_coords.shape == (256, 4)
-    fc = np.asarray(flat_coords)
-    valid_rows = fc[:, 0] >= 0
-    assert set(fc[valid_rows][:, 0]) == {0, 1}
-    # padding rows fully -1
-    assert np.all(fc[~valid_rows] == -1)
+    assert res.features.shape == (2, 128, 4)
+    assert res.coords.shape == (2, 128, 3)
+    nv = np.asarray(res.num_voxels)
+    assert np.all(nv > 0)
+    coords = np.asarray(res.coords)
+    for b in range(2):
+        assert np.all(coords[b, : nv[b]] >= 0)
+        assert np.all(coords[b, nv[b]:] == -1)
 
 
 def test_voxelize_jits():

@@ -1,0 +1,81 @@
+"""Named presets for the five BASELINE.json target configs.
+
+| preset                    | reference config |
+|---------------------------|------------------|
+| voxel_rcnn_car_kitti      | VoxelRCNN tools/cfgs/kitti_models/voxel_rcnn_car.yaml |
+| voxel_rcnn_3ddf_kitti     | ...voxel_rcnn_car_mm_mvx+actrv2_hybrid_ifat.yaml |
+| centerpoint_nusc          | CenterPoint configs/nusc/voxelnet/nusc_centerpoint_voxelnet_0075voxel_fix_bn_z.py |
+| centerpoint_3ddf_nusc     | ...0075voxel_fix_bn_z_multimodal_pfat_hybrid7_ifat.py |
+| transfusion_l_nusc        | TransFusion configs/transfusion_nusc_voxel_L.py |
+| transfusion_3ddf_nusc     | TransFusion configs/transfusion_nusc_voxel_F.py |
+"""
+
+from __future__ import annotations
+
+from df3d.models.detectors.centerpoint import CenterPointConfig
+from df3d.models.detectors.transfusion import TransFusionConfig
+from df3d.models.detectors.voxel_rcnn import VoxelRCNNConfig
+from df3d.models.fusion.actr import ACTRConfig
+from df3d.models.heads.transfusion_head import TransFusionHeadCfg
+
+
+def _centerpoint() -> CenterPointConfig:
+    return CenterPointConfig()
+
+
+def _centerpoint_3ddf():
+    # model config identical on the LiDAR path; fusion cfg rides alongside
+    return {
+        "lidar": CenterPointConfig(),
+        "actr": ACTRConfig(
+            d_model=128, n_levels=3, num_layers=1, q_method="gating",
+            attn_layer="BiGateSum1D_2", model_name="ACTRv2",
+        ),
+        "max_ne_voxel": 26000,
+        "num_cams": 6,
+    }
+
+
+def _transfusion_l() -> TransFusionConfig:
+    return TransFusionConfig()
+
+
+def _transfusion_3ddf():
+    return {
+        "lidar": TransFusionConfig(),
+        "actr": ACTRConfig(
+            d_model=128, n_levels=1, num_layers=2, q_method="sum",
+            attn_layer="BiGateSum1D_2", model_name="ACTRv2", hybrid=True,
+        ),
+        "max_ne_voxel": 26000,
+        "num_cams": 6,
+    }
+
+
+def _voxel_rcnn() -> VoxelRCNNConfig:
+    return VoxelRCNNConfig()
+
+
+def _voxel_rcnn_3ddf():
+    return {
+        "lidar": VoxelRCNNConfig(),
+        "actr": ACTRConfig(
+            d_model=64, n_levels=3, num_layers=1, q_method="gating",
+            attn_layer="BiGateSum1D_2", model_name="ACTRv2",
+        ),
+        "max_ne_voxel": 13000,
+    }
+
+
+PRESETS = {
+    "voxel_rcnn_car_kitti": _voxel_rcnn,
+    "voxel_rcnn_3ddf_kitti": _voxel_rcnn_3ddf,
+    "centerpoint_nusc": _centerpoint,
+    "centerpoint_3ddf_nusc": _centerpoint_3ddf,
+    "transfusion_l_nusc": _transfusion_l,
+    "transfusion_3ddf_nusc": _transfusion_3ddf,
+}
+
+
+def get_preset(name: str):
+    return PRESETS[name]()

@@ -86,6 +86,61 @@ class SpMiddleResNetFHD(nn.Module):
         }
 
 
+class SparseEncoder(nn.Module):
+    """mmdet3d middle encoder, block_type='basicblock' as used by TransFusion
+    (sparse_encoder.py:12-205 / SparseEncoderFusion:207-448):
+    conv_input subm(in->16); stages of 2x SparseBasicBlock + strided
+    downsample (last stage no downsample); conv_out (3,1,1)/(2,1,1).
+
+    fusion_hook (SparseEncoderFusion fusion_pos=[3]) runs on the stage-4
+    output (stride 8) before conv_out.
+    """
+
+    num_input_features: int
+    stage_caps: Sequence[int]  # caps for strides (1, 2, 4, 8)
+    base_channels: int = 16
+    encoder_channels: tuple = ((16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
+    output_channels: int = 128
+    fusion_hook: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool, fusion_kwargs=None):
+        n1, n2, n3, n4 = self.stage_caps
+        caps = [n2, n3, n4]
+
+        plan = build_subm_plan(st, 3)
+        x = SparseConvBNReLU(self.base_channels, subm=True, name="conv_input")(
+            st, plan, train
+        )
+
+        stage_outs = []
+        for i, blocks in enumerate(self.encoder_channels):
+            for j, ch in enumerate(blocks):
+                last = j == len(blocks) - 1
+                if last and i != len(self.encoder_channels) - 1:
+                    pad = (0, 1, 1) if i == 2 else 1
+                    down = build_conv_plan(x, 3, 2, pad, max_out=caps[i])
+                    x = SparseConvBNReLU(
+                        ch, subm=False, name=f"stage{i}_down"
+                    )(x, down, train)
+                    plan = build_subm_plan(x, 3)
+                else:
+                    x = SparseBasicBlock(ch, name=f"stage{i}_block{j}")(
+                        x, plan, train
+                    )
+            stage_outs.append(x)
+
+        if self.fusion_hook is not None:
+            x = self.fusion_hook(self, stage_outs, train, **(fusion_kwargs or {}))
+
+        out_plan = build_conv_plan(x, (3, 1, 1), (2, 1, 1), 0, max_out=n4)
+        out = SparseConvBNReLU(self.output_channels, subm=False, name="conv_out")(
+            x, out_plan, train
+        )
+        bev = height_compress(out)
+        return bev, {f"conv{i+1}": s for i, s in enumerate(stage_outs)}
+
+
 class VoxelBackBone8x(nn.Module):
     """pcdet KITTI backbone: plain conv stacks, 16/32/64/64 channels,
     conv_out to 128 with (3,1,1)/(2,1,1) (spconv_backbone.py:135-267)."""

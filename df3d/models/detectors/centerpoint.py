@@ -13,7 +13,7 @@ multi-chip (batch sharded over the data mesh axis).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -67,16 +67,19 @@ class CenterPointConfig:
 
 class CenterPoint(nn.Module):
     cfg: CenterPointConfig
+    fusion_hook: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, voxel_features, voxel_coords, train: bool):
+    def __call__(self, voxel_features, voxel_coords, train: bool,
+                 fusion_kwargs=None):
         """voxel_features (B, V, F); voxel_coords (B, V, 3) (z, y, x) with
         -1 padding rows."""
         st = SparseTensor(voxel_features, voxel_coords, self.cfg.sparse_shape)
         caps = tuple(min(c, voxel_features.shape[1]) for c in self.cfg.stage_caps)
         bev, ms = SpMiddleResNetFHD(
-            self.cfg.num_point_features, caps, name="backbone"
-        )(st, train)
+            self.cfg.num_point_features, caps, fusion_hook=self.fusion_hook,
+            name="backbone"
+        )(st, train, fusion_kwargs)
         bev = BEVBackbone(
             layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),
             upsample_strides=(1, 2), num_upsample_filters=(256, 256),

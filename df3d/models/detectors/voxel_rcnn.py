@@ -9,6 +9,7 @@ BaseBEVBackbone -> AnchorHeadSingle -> proposal NMS -> VoxelRCNNHead.
 from __future__ import annotations
 
 import dataclasses
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +73,7 @@ class VoxelRCNNConfig:
 
 class VoxelRCNN(nn.Module):
     cfg: VoxelRCNNConfig
-    fusion_hook = None
+    fusion_hook: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, voxel_features, voxel_coords, train: bool,

@@ -50,24 +50,24 @@ def augmented_lidar_to_raw(
     flip_x: jax.Array | None = None,
     flip_y: jax.Array | None = None,
 ) -> jax.Array:
-    """Undo world augmentations (applied in order scale, rot, flip) so points
-    line up with the un-augmented camera frame. Scalars broadcast per-sample.
-
-    Inverse order mirrors reference spconv_backbone.py:702-715: flip undo,
-    then rotation undo, then scale undo.
+    """Undo world augmentations so points line up with the un-augmented
+    camera frame. The pipeline applies flip -> rotation -> scaling
+    (p' = s * R * F * p), so the inverse runs scale-undo, rotation-undo,
+    flip-undo — the same order as reference spconv_backbone.py:702-715.
+    Scalars broadcast per-sample.
     """
     xyz = points[..., :3]
-    if flip_y is not None:  # flip along x axis => y negated
-        xyz = xyz.at[..., 1].multiply(jnp.where(flip_y, -1.0, 1.0))
-    if flip_x is not None:  # flip along y axis => x negated
-        xyz = xyz.at[..., 0].multiply(jnp.where(flip_x, -1.0, 1.0))
+    if noise_scale is not None:
+        xyz = xyz / jnp.maximum(noise_scale, 1e-6)
     if noise_rot is not None:
         c, s = jnp.cos(-noise_rot), jnp.sin(-noise_rot)
         x = xyz[..., 0] * c - xyz[..., 1] * s
         y = xyz[..., 0] * s + xyz[..., 1] * c
         xyz = jnp.stack([x, y, xyz[..., 2]], axis=-1)
-    if noise_scale is not None:
-        xyz = xyz / jnp.maximum(noise_scale, 1e-6)
+    if flip_x is not None:  # random_world_flip along x axis: y was negated
+        xyz = xyz.at[..., 1].multiply(jnp.where(flip_x, -1.0, 1.0))
+    if flip_y is not None:  # flip along y axis: x was negated
+        xyz = xyz.at[..., 0].multiply(jnp.where(flip_y, -1.0, 1.0))
     return jnp.concatenate([xyz, points[..., 3:]], axis=-1)
 
 

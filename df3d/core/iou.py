@@ -65,8 +65,9 @@ def _poly_area(poly, count):
     return 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0)))
 
 
-def _rect_intersection_area(corners_a, corners_b):
-    """Intersection area of two CCW rectangles, each (4, 2)."""
+def _rect_intersection_area_clip(corners_a, corners_b):
+    """Intersection area via Sutherland-Hodgman clipping (reference
+    implementation; uses scatters — kept for cross-validation in tests)."""
     poly = jnp.zeros((_MAXV, 2), corners_a.dtype).at[:4].set(corners_a)
     count = jnp.int32(4)
     for k in range(4):
@@ -74,6 +75,79 @@ def _rect_intersection_area(corners_a, corners_b):
         b = corners_b[(k + 1) % 4]
         poly, count = _clip_by_halfplane(poly, count, a, b)
     return _poly_area(poly, count)
+
+
+def _point_in_quad(pts, quad):
+    """pts (..., 2) inside CCW quad (4, 2) -> bool (...,).
+
+    Uses signed DISTANCE to each edge with a small metric tolerance so
+    exactly-coincident boxes (corners on the boundary) stay robust under
+    f32 noise — near-duplicate boxes must score IoU ~1 for NMS."""
+    inside = True
+    for k in range(4):
+        a = quad[k]
+        d = quad[(k + 1) % 4] - a
+        cross = d[0] * (pts[..., 1] - a[1]) - d[1] * (pts[..., 0] - a[0])
+        dist = cross / jnp.maximum(jnp.sqrt(d[0] ** 2 + d[1] ** 2), _EPS)
+        inside = inside & (dist >= -1e-4)
+    return inside
+
+
+def _rect_intersection_area(corners_a, corners_b):
+    """Intersection area of two CCW rectangles, each (4, 2).
+
+    Scatter-free formulation (same math as the reference CUDA kernel
+    iou3d_nms_kernel.cu box_overlap): collect the 16 edge-pair intersection
+    points + 8 contained corners with validity masks, sort by angle around
+    the valid-point centroid, shoelace. Everything is fixed-size vector math
+    + one tiny length-24 sort — no scatters, so it vectorizes on the VPU.
+    """
+    # edge-pair intersections: A edge k = a0->a1, B edge m = b0->b1
+    a0 = corners_a                       # (4, 2)
+    a1 = jnp.roll(corners_a, -1, axis=0)
+    b0 = corners_b
+    b1 = jnp.roll(corners_b, -1, axis=0)
+
+    r = (a1 - a0)[:, None, :]            # (4, 1, 2)
+    s = (b1 - b0)[None, :, :]            # (1, 4, 2)
+    qp = b0[None, :, :] - a0[:, None, :]  # (4, 4, 2)
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qpxr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
+    qpxs = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
+    denom = jnp.where(jnp.abs(rxs) < _EPS, _EPS, rxs)
+    t = qpxs / denom
+    u = qpxr / denom
+    inter_ok = (
+        (jnp.abs(rxs) > _EPS)
+        & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    )
+    inter_pts = a0[:, None, :] + t[..., None] * r  # (4, 4, 2)
+
+    # contained corners
+    a_in_b = _point_in_quad(corners_a, corners_b)  # (4,)
+    b_in_a = _point_in_quad(corners_b, corners_a)  # (4,)
+
+    pts = jnp.concatenate(
+        [inter_pts.reshape(16, 2), corners_a, corners_b], axis=0
+    )  # (24, 2)
+    ok = jnp.concatenate([inter_ok.reshape(16), a_in_b, b_in_a])
+
+    num = jnp.maximum(ok.sum(), 1)
+    centroid = jnp.where(ok[:, None], pts, 0.0).sum(0) / num
+    ang = jnp.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
+    ang = jnp.where(ok, ang, 1e9)  # invalid points sort last
+    order = jnp.argsort(ang)
+    sp = pts[order]
+    sok = ok[order]
+
+    # shoelace over the valid ring: next valid vertex is the next slot,
+    # wrapping to slot 0 (valid slots are contiguous after the sort)
+    idx = jnp.arange(24)
+    nxt = jnp.where(idx + 1 >= ok.sum(), 0, idx + 1)
+    nx = sp[nxt]
+    cross = sp[:, 0] * nx[:, 1] - nx[:, 0] * sp[:, 1]
+    area = 0.5 * jnp.abs(jnp.sum(jnp.where(sok, cross, 0.0)))
+    return jnp.where(ok.sum() >= 3, area, 0.0)
 
 
 def overlap_bev(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:

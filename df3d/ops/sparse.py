@@ -95,7 +95,7 @@ def _kernel_offsets(ksize: Sequence[int]) -> jnp.ndarray:
 
 def _lookup(sorted_keys, query, row_of_sorted, n):
     """Rows whose key == query; n ('no match') points at the zero pad row."""
-    pos = jnp.searchsorted(sorted_keys, query, method="sort")
+    pos = jnp.searchsorted(sorted_keys, query, method="scan_unrolled")
     pos = jnp.minimum(pos, sorted_keys.shape[0] - 1)
     found = sorted_keys[pos] == query
     return jnp.where(found, row_of_sorted[pos], n)
@@ -176,9 +176,11 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
         first &= skey != _INT_MAX
         uid = jnp.cumsum(first.astype(jnp.int32)) - 1
-        slot = jnp.where(first & (uid < max_out), uid, max_out)
+        # duplicate slots carry identical skey values and INT_MAX rows sit at
+        # the end, so the index vector is genuinely nondecreasing
+        slot = jnp.where(skey != _INT_MAX, jnp.minimum(uid, max_out), max_out)
         out_key = jnp.full((max_out,), _INT_MAX, jnp.int32).at[slot].set(
-            skey, mode="drop"
+            skey, mode="drop", indices_are_sorted=True
         )
 
         ovalid = out_key != _INT_MAX

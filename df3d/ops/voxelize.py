@@ -86,7 +86,9 @@ def voxelize(
     keep = (rank < max_points_per_voxel) & (voxel_id_sorted < max_voxels)
 
     feats_sorted = points[order]
-    seg_id = jnp.where(keep, voxel_id_sorted, max_voxels)
+    # seg ids NONDECREASING (cap-dropped points keep their segment id but
+    # contribute zero) so the segment reduce lowers to a sorted-scatter
+    seg_id = jnp.minimum(voxel_id_sorted, max_voxels)
     sums = jax.ops.segment_sum(
         jnp.where(keep[:, None], feats_sorted, 0.0),
         seg_id,
@@ -99,16 +101,20 @@ def voxelize(
     )[:max_voxels]
     features = sums / jnp.maximum(counts, 1)[:, None]
 
-    # voxel coords: scatter the key's zyx at first-occurrence rows
+    # voxel coords: all rows of a voxel share identical coords, so writing
+    # duplicates is safe and the index vector stays sorted
     out_coords = jnp.full((max_voxels, 3), -1, jnp.int32)
-    first_pos = jnp.where(first & (voxel_id_sorted < max_voxels), voxel_id_sorted, max_voxels)
-    out_coords = out_coords.at[first_pos].set(coords[order], mode="drop")
+    out_coords = out_coords.at[seg_id].set(
+        coords[order], mode="drop", indices_are_sorted=True
+    )
 
     num_voxels = jnp.minimum(first.sum().astype(jnp.int32), max_voxels)
 
     # map back: per original point, its voxel slot (or -1)
     pv_sorted = jnp.where(keep, voxel_id_sorted, -1)
-    point_voxel_id = jnp.zeros((p,), jnp.int32).at[order].set(pv_sorted)
+    point_voxel_id = jnp.zeros((p,), jnp.int32).at[order].set(
+        pv_sorted, unique_indices=True
+    )
 
     return VoxelizationResult(features, out_coords, counts, num_voxels, point_voxel_id)
 

@@ -100,3 +100,29 @@ def test_chunked_matches_direct():
     direct = np.asarray(IOU.iou_bev(boxes[:32], boxes[:64]))
     chunked = np.asarray(IOU.iou_bev_chunked(boxes, boxes[:64], chunk=256))
     np.testing.assert_allclose(chunked[:32], direct, atol=1e-5)
+
+
+def test_scatterless_matches_clipping_impl():
+    """The production (scatter-free) intersection must match the
+    Sutherland-Hodgman reference implementation."""
+    import jax
+
+    from df3d.core.boxes import boxes_bev_corners
+    from df3d.core.iou import _rect_intersection_area, _rect_intersection_area_clip
+
+    rng = np.random.RandomState(7)
+    boxes = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-3, 3, 64), rng.uniform(-3, 3, 64), np.zeros(64),
+                rng.uniform(0.5, 5, 64), rng.uniform(0.5, 5, 64), np.ones(64),
+                rng.uniform(-np.pi, np.pi, 64),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    ca = boxes_bev_corners(boxes[:32])
+    cb = boxes_bev_corners(boxes[32:])
+    fast = jax.vmap(_rect_intersection_area)(ca, cb)
+    ref = jax.vmap(_rect_intersection_area_clip)(ca, cb)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-3)

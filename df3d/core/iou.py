@@ -93,14 +93,74 @@ def _point_in_quad(pts, quad):
     return inside
 
 
+def _edge_clip_contribution(p0, p1, quad, tol):
+    """Green's-theorem contribution of edge p0->p1 clipped to inside `quad`.
+
+    The edge portion inside the convex quad is a parametric interval
+    [t_lo, t_hi] found by clipping against the 4 half-planes (branch-free).
+    Its boundary-integral contribution to the intersection area is
+    0.5 * cross(q(t_lo), q(t_hi)). p0/p1 (..., 2); quad (4, 2).
+    """
+    d = p1 - p0
+    t_lo = jnp.zeros(p0.shape[:-1])
+    t_hi = jnp.ones(p0.shape[:-1])
+    inside_all = True
+    for k in range(4):
+        a = quad[k]
+        e = quad[(k + 1) % 4] - a
+        inv_len = jax.lax.rsqrt(jnp.maximum(e[0] ** 2 + e[1] ** 2, _EPS))
+        # signed DISTANCE f(t) = c0 + t*(c1-c0); inside iff f >= -tol.
+        # Normalizing by |e| makes tol a metric distance, so coincident
+        # boundaries stay robust to f32 rounding at large coordinates.
+        c0 = (e[0] * (p0[..., 1] - a[1]) - e[1] * (p0[..., 0] - a[0])) * inv_len
+        c1 = (e[0] * (p1[..., 1] - a[1]) - e[1] * (p1[..., 0] - a[0])) * inv_len
+        slope = c1 - c0
+        tc = -(c0 + tol) / jnp.where(jnp.abs(slope) < _EPS, _EPS, slope)
+        # slope > 0: constraint activates below tc (entry); slope < 0: exit
+        t_lo = jnp.where(slope > 0, jnp.maximum(t_lo, tc), t_lo)
+        t_hi = jnp.where(slope < 0, jnp.minimum(t_hi, tc), t_hi)
+        # parallel edge: inside only if c >= -tol everywhere
+        inside_all = inside_all & jnp.where(
+            jnp.abs(slope) < _EPS, c0 >= -tol, True
+        )
+    ok = inside_all & (t_hi > t_lo)
+    q0 = p0 + t_lo[..., None] * d
+    q1 = p0 + t_hi[..., None] * d
+    contrib = 0.5 * (q0[..., 0] * q1[..., 1] - q1[..., 0] * q0[..., 1])
+    return jnp.where(ok, contrib, 0.0)
+
+
 def _rect_intersection_area(corners_a, corners_b):
     """Intersection area of two CCW rectangles, each (4, 2).
 
-    Scatter-free formulation (same math as the reference CUDA kernel
-    iou3d_nms_kernel.cu box_overlap): collect the 16 edge-pair intersection
-    points + 8 contained corners with validity masks, sort by angle around
-    the valid-point centroid, shoelace. Everything is fixed-size vector math
-    + one tiny length-24 sort — no scatters, so it vectorizes on the VPU.
+    Branch-free Green's-theorem formulation: the boundary of A∩B consists of
+    sub-segments of A's edges inside B and of B's edges inside A; each
+    sub-segment is found by parametric clipping against 4 half-planes and
+    contributes 0.5*cross(start, end) to the shoelace sum. No sorts, no
+    scatters — pure VPU math, which is what makes the (K x K) NMS IoU matrix
+    cheap on TPU. Coincident boundaries are counted once via an asymmetric
+    tolerance (A edges inclusive, B edges exclusive).
+    """
+    a0 = corners_a
+    a1 = jnp.roll(corners_a, -1, axis=0)
+    b0 = corners_b
+    b1 = jnp.roll(corners_b, -1, axis=0)
+    tol = 1e-4  # meters; must exceed f32 cross-product noise at ~100 m coords
+    area = (
+        _edge_clip_contribution(a0, a1, corners_b, tol).sum()
+        + _edge_clip_contribution(b0, b1, corners_a, -tol).sum()
+    )
+    return jnp.maximum(area, 0.0)
+
+
+def _rect_intersection_area_sortbased(corners_a, corners_b):
+    """Intersection area of two CCW rectangles, each (4, 2).
+
+    Alternative scatter-free formulation (same math as the reference CUDA
+    kernel iou3d_nms_kernel.cu box_overlap): collect the 16 edge-pair
+    intersection points + 8 contained corners with validity masks, sort by
+    angle around the valid-point centroid, shoelace. Kept for
+    cross-validation.
     """
     # edge-pair intersections: A edge k = a0->a1, B edge m = b0->b1
     a0 = corners_a                       # (4, 2)
@@ -222,8 +282,14 @@ def iou_bev_chunked(boxes_a: jax.Array, boxes_b: jax.Array, chunk: int = 256) ->
     """Row-chunked pairwise rotated BEV IoU to bound peak memory for large N.
 
     boxes_a (N,7) with N % chunk == 0 (pad first), boxes_b (M,7) -> (N,M).
+    The chunk loop is unrolled in Python (static trip count) — a lax.map
+    here changed fusion enough to flip boundary-tolerance decisions for
+    coincident boxes on some backends.
     """
     n = boxes_a.shape[0]
     assert n % chunk == 0, f"pad N={n} to a multiple of {chunk}"
-    rows = boxes_a.reshape(n // chunk, chunk, boxes_a.shape[-1])
-    return jax.lax.map(lambda r: iou_bev(r, boxes_b), rows).reshape(n, -1)
+    outs = [
+        iou_bev(boxes_a[i * chunk:(i + 1) * chunk], boxes_b)
+        for i in range(n // chunk)
+    ]
+    return jnp.concatenate(outs, axis=0)

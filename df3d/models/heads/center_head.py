@@ -148,7 +148,9 @@ def center_head_predict(
         labels = hm.argmax(-1) + class_offset
 
         def decode_one(scores_i, labels_i, reg, height, dim, rot, vel):
-            top_scores, idx = jax.lax.top_k(scores_i, pre_max_size)
+            # approx_max_k: TPU-accelerated; candidates beyond the NMS keep
+            # set are score-thresholded anyway, so approximate recall is fine
+            top_scores, idx = jax.lax.approx_max_k(scores_i, pre_max_size)
             ys = (idx // w).astype(jnp.float32)
             xs = (idx % w).astype(jnp.float32)
             reg_i = reg.reshape(h * w, 2)[idx]

@@ -93,12 +93,34 @@ def _kernel_offsets(ksize: Sequence[int]) -> jnp.ndarray:
     return jnp.stack([oz, oy, ox], axis=-1).reshape(-1, 3).astype(jnp.int32)
 
 
+# Budget for the dense key->row table strategy (bytes, per batch sample x
+# batch size). Below this, neighbor lookup is a direct gather into a dense
+# voxel table (the reference's generate_voxel2pinds trick,
+# pcdet voxel_query_utils.py) — much faster on TPU than searchsorted.
+_DENSE_TABLE_BUDGET = 2 << 30
+
+
+def _use_dense_table(batch: int, cells: int) -> bool:
+    return batch * (cells + 1) * 4 <= _DENSE_TABLE_BUDGET
+
+
 def _lookup(sorted_keys, query, row_of_sorted, n):
     """Rows whose key == query; n ('no match') points at the zero pad row."""
     pos = jnp.searchsorted(sorted_keys, query, method="scan_unrolled")
     pos = jnp.minimum(pos, sorted_keys.shape[0] - 1)
     found = sorted_keys[pos] == query
     return jnp.where(found, row_of_sorted[pos], n)
+
+
+def _dense_lookup(keys, valid, qkey, q_ok, n, cells):
+    """Dense-table lookup: scatter row ids at keys, gather at query keys.
+    keys (N,), qkey (Q,) in [0, cells); invalid queries -> n (pad row)."""
+    table = jnp.full((cells + 1,), n, jnp.int32)
+    safe = jnp.where(valid, keys, cells)
+    table = table.at[safe].set(
+        jnp.arange(keys.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    return table[jnp.where(q_ok, qkey, cells)]
 
 
 @jax.tree_util.register_dataclass
@@ -122,9 +144,10 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
     n = st.num_rows
     offs = _kernel_offsets(ksize) - (jnp.asarray(ksize, jnp.int32) - 1) // 2
 
+    cells = z * y * x
+    dense = _use_dense_table(st.batch_size, cells)
+
     def one(coords, keys, valid):
-        order = jnp.argsort(keys)
-        sorted_keys = keys[order]
         nbr = coords[:, None, :] + offs[None]  # (N, K, 3)
         ok = (
             (nbr[..., 0] >= 0) & (nbr[..., 0] < z)
@@ -133,8 +156,17 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
             & valid[:, None]
         )
         qkey = (nbr[..., 0] * y + nbr[..., 1]) * x + nbr[..., 2]
-        qkey = jnp.where(ok, qkey, _INT_MAX - 1)
-        return _lookup(sorted_keys, qkey.reshape(-1), order, n).reshape(n, -1)
+        if dense:
+            rows = _dense_lookup(
+                keys, valid, qkey.reshape(-1), ok.reshape(-1), n, cells
+            )
+        else:
+            order = jnp.argsort(keys)
+            rows = _lookup(
+                keys[order], jnp.where(ok, qkey, _INT_MAX - 1).reshape(-1),
+                order, n,
+            )
+        return rows.reshape(n, -1)
 
     gather = jax.vmap(one)(st.coords, st.keys(), st.valid)
     return ConvPlan(gather, st.coords, st.spatial_shape, ksize)
@@ -161,6 +193,7 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     offs = _kernel_offsets(ksize)
     kst = jnp.asarray(stride, jnp.int32)
     kpd = jnp.asarray(padding, jnp.int32)
+    dense_in = _use_dense_table(st.batch_size, z * y * x)
 
     def one(coords, keys, valid):
         # candidate outputs: o = (i + pad - k) / stride, integer & in range
@@ -194,8 +227,6 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         )
 
         # gather rule: input coord = o*stride - pad + k
-        order = jnp.argsort(keys)
-        sorted_keys = keys[order]
         src = out_coords[:, None, :] * kst[None, None] - kpd[None, None] + offs[None]
         src_ok = (
             (src[..., 0] >= 0) & (src[..., 0] < z)
@@ -204,9 +235,18 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             & ovalid[:, None]
         )
         qkey = (src[..., 0] * y + src[..., 1]) * x + src[..., 2]
-        qkey = jnp.where(src_ok, qkey, _INT_MAX - 1)
-        gidx = _lookup(sorted_keys, qkey.reshape(-1), order, n).reshape(max_out, -1)
-        return gidx, out_coords
+        if dense_in:
+            gidx = _dense_lookup(
+                keys, valid, qkey.reshape(-1), src_ok.reshape(-1), n,
+                z * y * x,
+            )
+        else:
+            order = jnp.argsort(keys)
+            gidx = _lookup(
+                keys[order], jnp.where(src_ok, qkey, _INT_MAX - 1).reshape(-1),
+                order, n,
+            )
+        return gidx.reshape(max_out, -1), out_coords
 
     gather, out_coords = jax.vmap(one)(st.coords, st.keys(), st.valid)
     return ConvPlan(gather, out_coords, (oz, oy, ox), ksize)

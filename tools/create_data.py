@@ -13,6 +13,11 @@ df3d consumes det3d/mmdet3d-format nuScenes infos directly.)
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import pathlib
 import pickle

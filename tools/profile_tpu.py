@@ -3,6 +3,12 @@
 tracing/profiling replacement). Times each pipeline segment with forced
 materialization; run on the real chip."""
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
 import time
 
 import numpy as np

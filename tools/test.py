@@ -10,6 +10,11 @@ dist_test.py / eval_utils.eval_one_epoch).
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import json
 import pathlib

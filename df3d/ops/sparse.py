@@ -114,9 +114,11 @@ def _lookup(sorted_keys, query, row_of_sorted, n):
 
 def _dense_lookup(keys, valid, qkey, q_ok, n, cells):
     """Dense-table lookup: scatter row ids at keys, gather at query keys.
-    keys (N,), qkey (Q,) in [0, cells); invalid queries -> n (pad row)."""
+    keys (N,), qkey (Q,) in [0, cells); invalid queries -> n (pad row).
+    Invalid KEY rows scatter out of bounds (dropped) — they must not land on
+    the miss slot `cells`, which defaults to n."""
     table = jnp.full((cells + 1,), n, jnp.int32)
-    safe = jnp.where(valid, keys, cells)
+    safe = jnp.where(valid, keys, cells + 1)  # OOB -> dropped
     table = table.at[safe].set(
         jnp.arange(keys.shape[0], dtype=jnp.int32), mode="drop"
     )
@@ -195,6 +197,9 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     kpd = jnp.asarray(padding, jnp.int32)
     dense_in = _use_dense_table(st.batch_size, z * y * x)
 
+    cells_out = oz * oy * ox
+    dense_out = _use_dense_table(st.batch_size, cells_out)
+
     def one(coords, keys, valid):
         # candidate outputs: o = (i + pad - k) / stride, integer & in range
         num = coords[:, None, :] + kpd[None, None] - offs[None]  # (N, K, 3)
@@ -205,16 +210,30 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         cand_key = (cand[..., 0] * oy + cand[..., 1]) * ox + cand[..., 2]
         cand_key = jnp.where(ok, cand_key, _INT_MAX).reshape(-1)
 
-        skey = jnp.sort(cand_key)
-        first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
-        first &= skey != _INT_MAX
-        uid = jnp.cumsum(first.astype(jnp.int32)) - 1
-        # duplicate slots carry identical skey values and INT_MAX rows sit at
-        # the end, so the index vector is genuinely nondecreasing
-        slot = jnp.where(skey != _INT_MAX, jnp.minimum(uid, max_out), max_out)
-        out_key = jnp.full((max_out,), _INT_MAX, jnp.int32).at[slot].set(
-            skey, mode="drop", indices_are_sorted=True
-        )
+        if dense_out:
+            # dedup via dense occupancy + prefix-sum compaction (no sort)
+            occ = jnp.zeros((cells_out + 1,), bool).at[
+                jnp.minimum(cand_key, cells_out)
+            ].set(True)[:-1]
+            prefix = jnp.cumsum(occ.astype(jnp.int32))  # inclusive
+            slots = jnp.where(occ & (prefix <= max_out), prefix - 1, max_out)
+            out_key = jnp.full((max_out,), _INT_MAX, jnp.int32).at[slots].set(
+                jnp.arange(cells_out, dtype=jnp.int32), mode="drop",
+                indices_are_sorted=True,
+            )
+        else:
+            skey = jnp.sort(cand_key)
+            first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
+            first &= skey != _INT_MAX
+            uid = jnp.cumsum(first.astype(jnp.int32)) - 1
+            # duplicate slots carry identical skey values and INT_MAX rows
+            # sit at the end, so the index vector stays nondecreasing
+            slot = jnp.where(
+                skey != _INT_MAX, jnp.minimum(uid, max_out), max_out
+            )
+            out_key = jnp.full((max_out,), _INT_MAX, jnp.int32).at[slot].set(
+                skey, mode="drop", indices_are_sorted=True
+            )
 
         ovalid = out_key != _INT_MAX
         k_ = jnp.where(ovalid, out_key, 0)

@@ -136,3 +136,26 @@ def test_batch_independence():
         plan_b = build_subm_plan(solo, 3)
         out_b = np.asarray(apply_sparse_conv(solo.features, plan_b, w))[0]
         np.testing.assert_allclose(out[b], out_b, atol=1e-5)
+
+
+def test_sort_path_matches_dense_path(monkeypatch):
+    """Force the searchsorted fallback and compare against the dense-table
+    strategy (both rulebook lookups must agree)."""
+    import df3d.ops.sparse as S
+
+    rng = np.random.RandomState(7)
+    st = _random_sparse(rng, shape=(8, 12, 12), n=64, pad_to=96)
+    plan_dense = build_subm_plan(st, 3)
+    conv_dense = build_conv_plan(st, 3, 2, 1, max_out=160)
+    monkeypatch.setattr(S, "_DENSE_TABLE_BUDGET", 0)
+    plan_sort = build_subm_plan(st, 3)
+    conv_sort = build_conv_plan(st, 3, 2, 1, max_out=160)
+    np.testing.assert_array_equal(
+        np.asarray(plan_dense.gather_idx), np.asarray(plan_sort.gather_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(conv_dense.out_coords), np.asarray(conv_sort.out_coords)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(conv_dense.gather_idx), np.asarray(conv_sort.gather_idx)
+    )

@@ -61,15 +61,18 @@ def main():
         preds, _ = model.apply(variables, res.features, res.coords, train=False)
         return centerpoint_predict(cfg, preds)
 
-    # compile + warmup
-    out = infer(variables, points, valid)
-    jax.block_until_ready(out)
+    def force(out):
+        # fetch a scalar to the host: block_until_ready alone does not
+        # guarantee execution completed through the remote-TPU relay
+        return float(out["scores"].sum())
 
-    iters = 10
+    # compile + warmup
+    force(infer(variables, points, valid))
+
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(variables, points, valid)
-    jax.block_until_ready(out)
+        force(infer(variables, points, valid))
     dt = time.perf_counter() - t0
     fps = iters / dt
 

@@ -107,9 +107,9 @@ def accumulate_class(
     r_pts = np.linspace(0, 1, 101)
     p_interp = np.interp(r_pts, recall, precision, right=0)
     p_interp = np.maximum.accumulate(p_interp[::-1])[::-1]
-    p_clip = np.clip(p_interp - 0.1, 0, 1)
-    p_clip[r_pts < 0.1] = 0.0
-    ap = p_clip.sum() / (0.9 * 101)
+    # devkit calc_ap: drop recall < 0.1, subtract min precision 0.1, renorm
+    p_clip = np.clip(p_interp[11:] - 0.1, 0, 1)
+    ap = p_clip.mean() / 0.9
 
     # TP errors: cumulative mean up to max achieved recall (devkit approx:
     # mean over all TPs here)

@@ -271,6 +271,17 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     return ConvPlan(gather, out_coords, (oz, oy, ox), ksize)
 
 
+# Optional compute dtype for the conv taps (e.g. jnp.bfloat16): halves HBM
+# traffic for the gathers and uses the MXU's bf16 path; accumulation stays
+# f32. Set via set_compute_dtype() (bench/serving); None = input dtype.
+_COMPUTE_DTYPE = None
+
+
+def set_compute_dtype(dtype):
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
 def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
                       precision=None) -> jax.Array:
     """Gather-GEMM-scatter conv body.
@@ -281,6 +292,9 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
     matmul per tap via lax.scan (bounded memory, XLA pipelines the gathers).
     """
     b, _, cin = features.shape
+    if _COMPUTE_DTYPE is not None:
+        features = features.astype(_COMPUTE_DTYPE)
+        weights = weights.astype(_COMPUTE_DTYPE)
     padded = jnp.concatenate(
         [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
     )

@@ -112,6 +112,41 @@ def _lookup(sorted_keys, query, row_of_sorted, n):
     return jnp.where(found, row_of_sorted[pos], n)
 
 
+def _stencil_lookup(coords, keys, valid, base, base_ok, n, spatial, ksize):
+    """Windowed rulebook lookup: build a padded dense (Z, Y, X) row-id table
+    and fetch each output's FULL (kz, ky, kx) neighbor window with one
+    vmapped dynamic_slice (a stencil gather). Much faster than K scattered
+    single-element gathers — tap reads are contiguous along x.
+
+    coords/keys/valid: input sites (N, 3)/(N,)/(N,); base (M, 3): window
+    origin per output (z0, y0, x0) in INPUT grid coords (may be negative up
+    to -(k-1)); base_ok (M,). Returns (M, K) row ids with n = miss.
+    """
+    z, y, x = spatial
+    kz, ky, kx = ksize
+    pz, py, px = kz - 1, ky - 1, kx - 1
+    zp, yp, xp = z + 2 * pz, y + 2 * py, x + 2 * px
+
+    flat = jnp.full((zp * yp * xp + 1,), n, jnp.int32)
+    pkey = ((coords[:, 0] + pz) * yp + (coords[:, 1] + py)) * xp + (
+        coords[:, 2] + px
+    )
+    pkey = jnp.where(valid, pkey, zp * yp * xp)  # pad rows -> dropped slot
+    flat = flat.at[pkey].set(jnp.arange(coords.shape[0], dtype=jnp.int32),
+                             mode="drop")
+    table = flat[:-1].reshape(zp, yp, xp)
+
+    start = jnp.clip(
+        base + jnp.asarray([pz, py, px], jnp.int32),
+        0, jnp.asarray([zp - kz, yp - ky, xp - kx], jnp.int32),
+    )
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(table, (s[0], s[1], s[2]), ksize)
+    )(start)  # (M, kz, ky, kx)
+    rows = windows.reshape(base.shape[0], -1)
+    return jnp.where(base_ok[:, None], rows, n)
+
+
 def _dense_lookup(keys, valid, qkey, q_ok, n, cells):
     """Dense-table lookup: scatter row ids at keys, gather at query keys.
     keys (N,), qkey (Q,) in [0, cells); invalid queries -> n (pad row).
@@ -148,8 +183,14 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
 
     cells = z * y * x
     dense = _use_dense_table(st.batch_size, cells)
+    half = (jnp.asarray(ksize, jnp.int32) - 1) // 2
 
     def one(coords, keys, valid):
+        if dense:
+            base = coords - half
+            return _stencil_lookup(
+                coords, keys, valid, base, valid, n, (z, y, x), ksize
+            )
         nbr = coords[:, None, :] + offs[None]  # (N, K, 3)
         ok = (
             (nbr[..., 0] >= 0) & (nbr[..., 0] < z)
@@ -158,16 +199,11 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
             & valid[:, None]
         )
         qkey = (nbr[..., 0] * y + nbr[..., 1]) * x + nbr[..., 2]
-        if dense:
-            rows = _dense_lookup(
-                keys, valid, qkey.reshape(-1), ok.reshape(-1), n, cells
-            )
-        else:
-            order = jnp.argsort(keys)
-            rows = _lookup(
-                keys[order], jnp.where(ok, qkey, _INT_MAX - 1).reshape(-1),
-                order, n,
-            )
+        order = jnp.argsort(keys)
+        rows = _lookup(
+            keys[order], jnp.where(ok, qkey, _INT_MAX - 1).reshape(-1),
+            order, n,
+        )
         return rows.reshape(n, -1)
 
     gather = jax.vmap(one)(st.coords, st.keys(), st.valid)
@@ -245,26 +281,29 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             ovalid[:, None], jnp.stack([cz, cy, cx], -1).astype(jnp.int32), -1
         )
 
-        # gather rule: input coord = o*stride - pad + k
-        src = out_coords[:, None, :] * kst[None, None] - kpd[None, None] + offs[None]
-        src_ok = (
-            (src[..., 0] >= 0) & (src[..., 0] < z)
-            & (src[..., 1] >= 0) & (src[..., 1] < y)
-            & (src[..., 2] >= 0) & (src[..., 2] < x)
-            & ovalid[:, None]
-        )
-        qkey = (src[..., 0] * y + src[..., 1]) * x + src[..., 2]
+        # gather rule: input coord = o*stride - pad + k (a contiguous window)
         if dense_in:
-            gidx = _dense_lookup(
-                keys, valid, qkey.reshape(-1), src_ok.reshape(-1), n,
-                z * y * x,
+            base = out_coords * kst[None] - kpd[None]
+            gidx = _stencil_lookup(
+                coords, keys, valid, base, ovalid, n, (z, y, x), ksize
             )
         else:
+            src = (
+                out_coords[:, None, :] * kst[None, None] - kpd[None, None]
+                + offs[None]
+            )
+            src_ok = (
+                (src[..., 0] >= 0) & (src[..., 0] < z)
+                & (src[..., 1] >= 0) & (src[..., 1] < y)
+                & (src[..., 2] >= 0) & (src[..., 2] < x)
+                & ovalid[:, None]
+            )
+            qkey = (src[..., 0] * y + src[..., 1]) * x + src[..., 2]
             order = jnp.argsort(keys)
             gidx = _lookup(
                 keys[order], jnp.where(src_ok, qkey, _INT_MAX - 1).reshape(-1),
                 order, n,
-            )
+            ).reshape(max_out, -1)
         return gidx.reshape(max_out, -1), out_coords
 
     gather, out_coords = jax.vmap(one)(st.coords, st.keys(), st.valid)

@@ -113,10 +113,9 @@ def _lookup(sorted_keys, query, row_of_sorted, n):
 
 
 def _stencil_lookup(coords, keys, valid, base, base_ok, n, spatial, ksize):
-    """Windowed rulebook lookup: build a padded dense (Z, Y, X) row-id table
-    and fetch each output's FULL (kz, ky, kx) neighbor window with one
-    vmapped dynamic_slice (a stencil gather). Much faster than K scattered
-    single-element gathers — tap reads are contiguous along x.
+    """Windowed rulebook lookup (UNUSED on v5e: measured 5x slower than the
+    flat _dense_lookup — XLA lowers the vmapped window slice to per-row
+    DMAs; kept for future backends/kernel work).
 
     coords/keys/valid: input sites (N, 3)/(N,)/(N,); base (M, 3): window
     origin per output (z0, y0, x0) in INPUT grid coords (may be negative up
@@ -183,14 +182,8 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
 
     cells = z * y * x
     dense = _use_dense_table(st.batch_size, cells)
-    half = (jnp.asarray(ksize, jnp.int32) - 1) // 2
 
     def one(coords, keys, valid):
-        if dense:
-            base = coords - half
-            return _stencil_lookup(
-                coords, keys, valid, base, valid, n, (z, y, x), ksize
-            )
         nbr = coords[:, None, :] + offs[None]  # (N, K, 3)
         ok = (
             (nbr[..., 0] >= 0) & (nbr[..., 0] < z)
@@ -199,11 +192,19 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
             & valid[:, None]
         )
         qkey = (nbr[..., 0] * y + nbr[..., 1]) * x + nbr[..., 2]
-        order = jnp.argsort(keys)
-        rows = _lookup(
-            keys[order], jnp.where(ok, qkey, _INT_MAX - 1).reshape(-1),
-            order, n,
-        )
+        if dense:
+            # flat 1-element gathers beat a vmapped dynamic_slice window
+            # fetch (measured 5x on v5e: XLA lowers the window gather to
+            # per-row DMAs)
+            rows = _dense_lookup(
+                keys, valid, qkey.reshape(-1), ok.reshape(-1), n, cells
+            )
+        else:
+            order = jnp.argsort(keys)
+            rows = _lookup(
+                keys[order], jnp.where(ok, qkey, _INT_MAX - 1).reshape(-1),
+                order, n,
+            )
         return rows.reshape(n, -1)
 
     gather = jax.vmap(one)(st.coords, st.keys(), st.valid)
@@ -281,29 +282,29 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             ovalid[:, None], jnp.stack([cz, cy, cx], -1).astype(jnp.int32), -1
         )
 
-        # gather rule: input coord = o*stride - pad + k (a contiguous window)
+        # gather rule: input coord = o*stride - pad + k
+        src = (
+            out_coords[:, None, :] * kst[None, None] - kpd[None, None]
+            + offs[None]
+        )
+        src_ok = (
+            (src[..., 0] >= 0) & (src[..., 0] < z)
+            & (src[..., 1] >= 0) & (src[..., 1] < y)
+            & (src[..., 2] >= 0) & (src[..., 2] < x)
+            & ovalid[:, None]
+        )
+        qkey = (src[..., 0] * y + src[..., 1]) * x + src[..., 2]
         if dense_in:
-            base = out_coords * kst[None] - kpd[None]
-            gidx = _stencil_lookup(
-                coords, keys, valid, base, ovalid, n, (z, y, x), ksize
+            gidx = _dense_lookup(
+                keys, valid, qkey.reshape(-1), src_ok.reshape(-1), n,
+                z * y * x,
             )
         else:
-            src = (
-                out_coords[:, None, :] * kst[None, None] - kpd[None, None]
-                + offs[None]
-            )
-            src_ok = (
-                (src[..., 0] >= 0) & (src[..., 0] < z)
-                & (src[..., 1] >= 0) & (src[..., 1] < y)
-                & (src[..., 2] >= 0) & (src[..., 2] < x)
-                & ovalid[:, None]
-            )
-            qkey = (src[..., 0] * y + src[..., 1]) * x + src[..., 2]
             order = jnp.argsort(keys)
             gidx = _lookup(
                 keys[order], jnp.where(src_ok, qkey, _INT_MAX - 1).reshape(-1),
                 order, n,
-            ).reshape(max_out, -1)
+            )
         return gidx.reshape(max_out, -1), out_coords
 
     gather, out_coords = jax.vmap(one)(st.coords, st.keys(), st.valid)

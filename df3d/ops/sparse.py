@@ -248,16 +248,18 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         cand_key = jnp.where(ok, cand_key, _INT_MAX).reshape(-1)
 
         if dense_out:
-            # dedup via dense occupancy + prefix-sum compaction (no sort)
+            # dedup via dense occupancy + prefix-sum; the k-th occupied cell
+            # is recovered with a binary search over the (sorted) prefix —
+            # ~max_out searches instead of a cells_out-sized scatter
             occ = jnp.zeros((cells_out + 1,), bool).at[
                 jnp.minimum(cand_key, cells_out)
             ].set(True)[:-1]
             prefix = jnp.cumsum(occ.astype(jnp.int32))  # inclusive
-            slots = jnp.where(occ & (prefix <= max_out), prefix - 1, max_out)
-            out_key = jnp.full((max_out,), _INT_MAX, jnp.int32).at[slots].set(
-                jnp.arange(cells_out, dtype=jnp.int32), mode="drop",
-                indices_are_sorted=True,
-            )
+            out_key = jnp.searchsorted(
+                prefix, jnp.arange(1, max_out + 1, dtype=jnp.int32),
+                method="scan_unrolled",
+            ).astype(jnp.int32)
+            out_key = jnp.where(out_key < cells_out, out_key, _INT_MAX)
         else:
             skey = jnp.sort(cand_key)
             first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])

@@ -237,13 +237,26 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     cells_out = oz * oy * ox
     dense_out = _use_dense_table(st.batch_size, cells_out)
 
+    # per-dim candidate count: o in [ceil((i+pad-ks+1)/s), floor((i+pad)/s)]
+    # has at most ceil(ks/s) integers — enumerate those instead of all K taps
+    ncand = tuple(-(-k // s) for k, s in zip(ksize, stride))
+    cand_offs = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(c) for c in ncand], indexing="ij"), -1
+    ).reshape(-1, 3).astype(jnp.int32)  # (C, 3) subtracted from floor-div
+
     def one(coords, keys, valid):
-        # candidate outputs: o = (i + pad - k) / stride, integer & in range
-        num = coords[:, None, :] + kpd[None, None] - offs[None]  # (N, K, 3)
-        ok = (num % kst[None, None] == 0).all(-1) & (num >= 0).all(-1)
-        cand = num // kst[None, None]
-        ok &= (cand[..., 0] < oz) & (cand[..., 1] < oy) & (cand[..., 2] < ox)
-        ok &= valid[:, None]
+        # candidate outputs per input site (C = prod(ncand) combos)
+        top = coords + kpd[None]                      # i + pad
+        o0 = top // kst[None]                         # (N, 3) floor-div
+        cand = o0[:, None, :] - cand_offs[None]       # (N, C, 3)
+        resid = top[:, None, :] - cand * kst[None, None]  # i + pad - o*s
+        ok = (
+            (resid >= 0).all(-1)
+            & (resid < jnp.asarray(ksize, jnp.int32)[None, None]).all(-1)
+            & (cand >= 0).all(-1)
+            & (cand[..., 0] < oz) & (cand[..., 1] < oy) & (cand[..., 2] < ox)
+            & valid[:, None]
+        )
         cand_key = (cand[..., 0] * oy + cand[..., 1]) * ox + cand[..., 2]
         cand_key = jnp.where(ok, cand_key, _INT_MAX).reshape(-1)
 

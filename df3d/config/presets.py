@@ -67,8 +67,25 @@ def _voxel_rcnn_3ddf():
     }
 
 
+def _centerpoint_tiny():
+    """Tiny config for smoke runs / CI (compiles in seconds)."""
+    return CenterPointConfig(
+        pc_range=(-25.6, -25.6, -2.4, 25.6, 25.6, 2.4),
+        voxel_size=(0.4, 0.4, 0.2),
+        grid_size=(24, 128, 128),
+        max_voxels=2048,
+        num_point_features=5,
+        stage_caps=(2048, 1024, 512, 256),
+        max_objs=32,
+        post_center_range=(-30.0, -30.0, -4.0, 30.0, 30.0, 4.0),
+        nms_pre_max_size=128,
+        nms_post_max_size=16,
+    )
+
+
 PRESETS = {
     "voxel_rcnn_car_kitti": _voxel_rcnn,
+    "centerpoint_tiny_smoke": _centerpoint_tiny,
     "voxel_rcnn_3ddf_kitti": _voxel_rcnn_3ddf,
     "centerpoint_nusc": _centerpoint,
     "centerpoint_3ddf_nusc": _centerpoint_3ddf,

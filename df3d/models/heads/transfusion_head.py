@@ -166,6 +166,8 @@ class TransFusionHead(nn.Module):
 
         center = branch("center", 2) + query_pos_xy  # offset from query pixel
         preds = {
+            "query_feat": q,            # decoder output (LC stage input)
+            "query_pos_xy": query_pos_xy,
             "center": center,
             "height": branch("height", 1)[..., 0],
             "dim": branch("dim", 3),

@@ -123,3 +123,31 @@ def test_ifat_gate():
     assert out[0].shape == img[0].shape
     # output is img * sigmoid(gate): bounded by |img|
     assert np.all(np.abs(np.asarray(out[0])) <= np.abs(np.asarray(img[0])) + 1e-6)
+
+
+def test_ifat_variants():
+    import jax
+
+    from df3d.models.fusion.ifat import IFAT_GATES
+
+    rng = np.random.RandomState(5)
+    img = [jnp.asarray(rng.randn(1, 8, 12, 16).astype(np.float32))]
+    vox = [jnp.asarray(rng.randn(1, 20, 16).astype(np.float32))]
+    xyz = [jnp.asarray(rng.randn(1, 20, 3).astype(np.float32))]
+    uv = [jnp.asarray(rng.rand(1, 20, 2).astype(np.float32))]
+    mask = [jnp.ones((1, 20), bool)]
+
+    for name, cls in IFAT_GATES.items():
+        m = cls(num_scales=1)
+        if name == "BasicGateXYZ":
+            args = (img, vox, xyz, uv, mask)
+        elif name == "MultiVoxelPatchGate":
+            args = (img, vox, uv, mask)
+        else:
+            args = (img, vox, uv, mask)
+        vs = m.init(jax.random.PRNGKey(0), *args)
+        out = m.apply(vs, *args, mutable=["batch_stats"])[0]
+        assert out[0].shape == img[0].shape, name
+        assert np.all(
+            np.abs(np.asarray(out[0])) <= np.abs(np.asarray(img[0])) + 1e-6
+        ), name

@@ -246,6 +246,58 @@ class GTSampler:
         return points, gt_boxes, gt_names
 
 
+def paste_objects_to_image(image, crops, boxes2d, depths):
+    """Depth-ordered image compositing for camera-aware gt-sampling
+    (pcdet database_sampler.py:166-230 copy_paste_to_image, IMG_AUG_TYPE
+    'by_depth'): paste sampled objects' image crops far-to-near so closer
+    objects occlude farther ones.
+
+    image (H, W, 3) uint8/float; crops: list of (h_i, w_i, 3); boxes2d
+    (M, 4) xyxy pixel coords; depths (M,). Returns the composited image.
+    """
+    img = image.copy()
+    h, w = img.shape[:2]
+    order = np.argsort(-np.asarray(depths))  # far first
+    for i in order:
+        x1, y1, x2, y2 = [int(round(v)) for v in boxes2d[i]]
+        x1c, y1c = max(x1, 0), max(y1, 0)
+        x2c, y2c = min(x2, w), min(y2, h)
+        if x2c <= x1c or y2c <= y1c:
+            continue
+        crop = crops[i]
+        ch, cw = y2 - y1, x2 - x1
+        if crop.shape[0] != ch or crop.shape[1] != cw:
+            # nearest resize to the target bbox
+            ys = (np.arange(ch) * crop.shape[0] / max(ch, 1)).astype(int)
+            xs = (np.arange(cw) * crop.shape[1] / max(cw, 1)).astype(int)
+            crop = crop[np.clip(ys, 0, crop.shape[0] - 1)][
+                :, np.clip(xs, 0, crop.shape[1] - 1)
+            ]
+        img[y1c:y2c, x1c:x2c] = crop[y1c - y1:y2c - y1, x1c - x1:x2c - x1]
+    return img
+
+
+def project_box_to_image_bbox(box, proj, image_hw):
+    """3D box -> clipped 2D bbox via corner projection (for gt-paste)."""
+    signs = np.array(
+        [[1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+         [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1]], np.float32,
+    )
+    corners = 0.5 * box[3:6] * signs
+    c, s = np.cos(box[6]), np.sin(box[6])
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    corners = corners @ rot.T + box[:3]
+    homo = np.concatenate([corners, np.ones((8, 1), np.float32)], 1)
+    uvw = homo @ np.asarray(proj, np.float32).T
+    uv = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-6)
+    h, w = image_hw
+    x1, y1 = uv.min(0)
+    x2, y2 = uv.max(0)
+    return np.array(
+        [max(x1, 0), max(y1, 0), min(x2, w), min(y2, h)], np.float32
+    ), float(uvw[:, 2].mean())
+
+
 def _remove_points_in_boxes(points, boxes):
     if len(boxes) == 0 or len(points) == 0:
         return points

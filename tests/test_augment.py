@@ -1,0 +1,62 @@
+import numpy as np
+
+from df3d.data import augment as A
+
+
+def test_world_flip_rotation_scaling_semantics():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(50, 4).astype(np.float32)
+    boxes = np.array([[1.0, 2.0, 0.0, 4.0, 2.0, 1.5, 0.3, 1.0, 0.5]], np.float32)
+
+    p2, b2, s = A.random_world_scaling(pts.copy(), boxes.copy(), rng, (1.1, 1.1))
+    np.testing.assert_allclose(p2[:, :3], pts[:, :3] * 1.1, rtol=1e-5)
+    np.testing.assert_allclose(b2[0, :6], boxes[0, :6] * 1.1, rtol=1e-5)
+    np.testing.assert_allclose(b2[0, 7:], boxes[0, 7:] * 1.1, rtol=1e-5)
+
+    p3, b3, ang = A.random_world_rotation(pts.copy(), boxes.copy(), rng, (0.5, 0.5))
+    assert abs(ang - 0.5) < 1e-6
+    # rotation preserves norms
+    np.testing.assert_allclose(
+        np.linalg.norm(p3[:, :2], axis=1), np.linalg.norm(pts[:, :2], axis=1),
+        rtol=1e-4,
+    )
+
+
+def test_gt_sampler_adds_objects(tmp_path):
+    rng = np.random.RandomState(1)
+    obj = rng.randn(30, 4).astype(np.float32) * 0.3
+    np.save(tmp_path / "obj.npy", obj)
+    db = {
+        "Car": [
+            {"path": "obj.npy", "num_points": 30,
+             "box3d_lidar": np.array([20.0 + 5 * i, 0, 0, 4, 2, 1.5, 0], np.float32)}
+            for i in range(5)
+        ]
+    }
+    sampler = A.GTSampler(db, {"Car": 3}, root=tmp_path)
+    pts = rng.uniform(-10, 10, (100, 4)).astype(np.float32)
+    out_p, out_b, out_n = sampler(pts.copy(), None, None, rng)
+    assert out_b is not None and len(out_b) == 3
+    assert len(out_p) > 100  # pasted points added
+    assert set(out_n) == {"Car"}
+    # sampled boxes don't collide pairwise (BEV)
+    assert not A.bev_overlap_exists(out_b[:1, :7], out_b[1:, :7])[0]
+
+
+def test_paste_objects_depth_order():
+    img = np.zeros((20, 20, 3), np.uint8)
+    crops = [np.full((10, 10, 3), 100, np.uint8), np.full((10, 10, 3), 200, np.uint8)]
+    boxes = np.array([[2, 2, 12, 12], [6, 6, 16, 16]], np.float32)
+    depths = [5.0, 10.0]  # crop0 nearer -> pasted last -> wins overlap
+    out = A.paste_objects_to_image(img, crops, boxes, depths)
+    assert out[4, 4, 0] == 100
+    assert out[14, 14, 0] == 200
+    assert out[8, 8, 0] == 100  # overlap: nearer object occludes
+
+
+def test_project_box_to_image_bbox():
+    proj = np.array([[100, 0, 50, 0], [0, 100, 50, 0], [0, 0, 1, 0]], np.float32)
+    box = np.array([0.0, 0.0, 10.0, 1.0, 1.0, 1.0, 0.0], np.float32)
+    bbox, depth = A.project_box_to_image_bbox(box, proj, (100, 100))
+    assert abs(depth - 10.0) < 1e-4
+    assert bbox[0] < 50 < bbox[2] and bbox[1] < 50 < bbox[3]

@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: fused gather-GEMM sparse convolution.
+
+The XLA tap-scan (df3d.ops.sparse.apply_sparse_conv) writes each gathered
+(N, Cin) tap matrix back to HBM before its matmul. This kernel keeps the
+ENTIRE feature table resident in VMEM (the backbones' stages fit: 120k x 16
+.. 30k x 128 ~ 8-16 MB) and, per output row tile, gathers the K tap rows
+from VMEM and feeds the MXU directly — no HBM traffic for gathered values.
+
+Forward-only with a custom VJP that routes gradients through the XLA
+implementation (the reference pairs its CUDA kernels with a slow reference
+path the same way).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from df3d.ops import sparse as sparse_xla
+
+
+def _kernel(feat_ref, idx_ref, w_ref, out_ref, *, taps, tile):
+    """feat (1, N+1, Cin) VMEM; idx (1, TILE, K); w (K, Cin, Cout);
+    out (1, TILE, Cout)."""
+    feats = feat_ref[0]
+    acc = jnp.zeros((tile, w_ref.shape[-1]), jnp.float32)
+    for k in range(taps):
+        rows = jnp.take(feats, idx_ref[0, :, k], axis=0)  # (TILE, Cin)
+        acc += jnp.dot(rows, w_ref[k], preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+def sparse_conv_pallas_single(features, gather_idx, weights, tile=512,
+                              interpret=False):
+    """Single-sample fused conv. features (N+1, Cin) (LAST row must be the
+    zero pad row); gather_idx (N_out, K); weights (K, Cin, Cout)."""
+    n1, cin = features.shape
+    n_out, k = gather_idx.shape
+    cout = weights.shape[-1]
+    pad = (-n_out) % tile
+    if pad:
+        gather_idx = jnp.pad(gather_idx, ((0, pad), (0, 0)),
+                             constant_values=n1 - 1)
+    grid = ((n_out + pad) // tile,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, taps=k, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((1, n_out + pad, cout), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n1, cin), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, k), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, cin, cout), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, cout), lambda t: (0, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(features[None], gather_idx[None], weights)
+    return out[0, :n_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def apply_sparse_conv_pallas(features, plan_gather_idx, weights, tile=512,
+                             interpret=False):
+    """Batched fused conv: features (B, N, Cin); plan_gather_idx
+    (B, N_out, K) with N = 'miss'; weights (K, Cin, Cout) ->
+    (B, N_out, Cout)."""
+    b, n, cin = features.shape
+    padded = jnp.concatenate(
+        [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
+    )
+    out = jax.vmap(
+        lambda f, i: sparse_conv_pallas_single(f, i, weights, tile, interpret)
+    )(padded, plan_gather_idx)
+    return out.astype(features.dtype)
+
+
+def _fwd(features, plan_gather_idx, weights, tile, interpret):
+    out = apply_sparse_conv_pallas(features, plan_gather_idx, weights, tile,
+                                   interpret)
+    return out, (features, plan_gather_idx, weights)
+
+
+def _bwd(tile, interpret, res, g):
+    features, gather_idx, weights = res
+
+    def ref_fn(f, w):
+        plan = sparse_xla.ConvPlan(
+            gather_idx, jnp.zeros_like(gather_idx[..., :3]), (1, 1, 1),
+            (1, 1, 1),
+        )
+        return sparse_xla.apply_sparse_conv(f, plan, w)
+
+    _, vjp = jax.vjp(ref_fn, features, weights)
+    df, dw = vjp(g)
+    return df, None, dw
+
+
+apply_sparse_conv_pallas.defvjp(_fwd, _bwd)
+
+
+_PALLAS_CONV_OK: bool | None = None
+
+
+def pallas_sparse_conv_available() -> bool:
+    global _PALLAS_CONV_OK
+    if _PALLAS_CONV_OK is None:
+        try:
+            f = jnp.ones((1, 64, 8))
+            idx = jnp.zeros((1, 32, 27), jnp.int32)
+            w = jnp.ones((27, 8, 8))
+            apply_sparse_conv_pallas(f, idx, w, tile=32).block_until_ready()
+            _PALLAS_CONV_OK = True
+        except Exception:
+            _PALLAS_CONV_OK = False
+    return _PALLAS_CONV_OK

@@ -54,9 +54,14 @@ def _kernel(value_ref, locs_ref, attn_ref, out_ref, *, spatial_shapes, head_dim)
             xi = jnp.clip(cx, 0, w - 1).astype(jnp.int32)
             yi = jnp.clip(cy, 0, h - 1).astype(jnp.int32)
             flat = start + yi * w + xi               # (TQ, P)
-            rows = jnp.take(
-                value, flat.reshape(-1), axis=0
-            ).reshape(tq, -1, head_dim)              # (TQ, P, D)
+            npnt = flat.shape[-1]
+            # per-lane gather (Mosaic take_along_axis form)
+            idx2d = jnp.broadcast_to(
+                flat.reshape(-1)[:, None], (tq * npnt, head_dim)
+            )
+            rows = jnp.take_along_axis(value, idx2d, axis=0).reshape(
+                tq, npnt, head_dim
+            )
             acc += jnp.sum(rows * (wgt * cw * inb)[..., None], axis=1)
         start += h * w
     out_ref[0] = acc

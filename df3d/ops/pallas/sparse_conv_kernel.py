@@ -27,9 +27,13 @@ def _kernel(feat_ref, idx_ref, w_ref, out_ref, *, taps, tile):
     """feat (1, N+1, Cin) VMEM; idx (1, TILE, K); w (K, Cin, Cout);
     out (1, TILE, Cout)."""
     feats = feat_ref[0]
+    cin = feats.shape[-1]
     acc = jnp.zeros((tile, w_ref.shape[-1]), jnp.float32)
     for k in range(taps):
-        rows = jnp.take(feats, idx_ref[0, :, k], axis=0)  # (TILE, Cin)
+        # Mosaic supports per-lane gathers (take_along_axis with indices
+        # shaped like the output), not row-index jnp.take
+        idx2d = jnp.broadcast_to(idx_ref[0, :, k][:, None], (tile, cin))
+        rows = jnp.take_along_axis(feats, idx2d, axis=0)  # (TILE, Cin)
         acc += jnp.dot(rows, w_ref[k], preferred_element_type=jnp.float32)
     out_ref[0] = acc
 

@@ -73,6 +73,105 @@ def make_centerpoint_train_step(model: CenterPoint, cfg: CenterPointConfig) -> C
     return train_step
 
 
+def make_voxelrcnn_train_step(model, head, cfg) -> Callable:
+    """Two-stage Voxel R-CNN train step: RPN targets/loss + proposal NMS +
+    ROI sampling + RCNN head/loss (pcdet train_one_epoch semantics).
+
+    `model` is the VoxelRCNN detector, `head` a bound-compatible
+    VoxelRCNNHead; state.params = {"rpn": ..., "rcnn": ...}. The train step
+    takes (state, batch, rng) — rng drives the ROI subsampler (the reference
+    uses torch's global RNG there).
+    """
+    from df3d.models.detectors.voxel_rcnn import (
+        assign_rpn_targets, build_anchors, proposal_layer,
+        voxel_rcnn_train_losses,
+    )
+    from df3d.models.heads.voxelrcnn_head import sample_rois_for_training
+    from df3d.ops.voxelize import voxelize_batch as _vox
+
+    anchors = build_anchors(cfg)
+
+    def train_step(state, batch, rng):
+        res = _vox(
+            batch["points"], batch["points_valid"], cfg.voxel_size,
+            cfg.pc_range, cfg.grid_size, cfg.max_voxels,
+            cfg.max_points_per_voxel,
+        )
+        rpn_targets = assign_rpn_targets(
+            cfg, anchors, batch["gt_boxes"][..., :7], batch["gt_classes"],
+            batch["gt_valid"],
+        )
+
+        def loss_fn(params):
+            preds, updates = model.apply(
+                {"params": params["rpn"], "batch_stats": state.batch_stats},
+                res.features, res.coords, train=True, mutable=["batch_stats"],
+            )
+            rois, roi_scores, roi_mask = proposal_layer(
+                cfg, preds, anchors, train=True
+            )
+            keys = jax.random.split(rng, rois.shape[0])
+            rcnn_targets = jax.vmap(
+                lambda r, s, m, g, gv, key: sample_rois_for_training(
+                    key, r, s, m, g, gv, cfg.rcnn
+                )
+            )(rois, roi_scores, roi_mask, batch["gt_boxes"][..., :7],
+              batch["gt_valid"], keys)
+            cls, reg = head.apply(
+                {"params": params["rcnn"]},
+                rcnn_targets["rois"], rcnn_targets["mask"], preds["ms"],
+                train=True,
+            )
+            total, logs = voxel_rcnn_train_losses(
+                cfg, preds, {"cls": cls, "reg": reg}, rpn_targets, rcnn_targets
+            )
+            return total, (logs, updates)
+
+        (_, (logs, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=updates["batch_stats"]
+        )
+        return state, logs
+
+    return train_step
+
+
+def make_transfusion_train_step(model, cfg) -> Callable:
+    """TransFusion-L train step (mmdet train_detector semantics)."""
+    from df3d.models.detectors.transfusion import transfusion_loss
+    from df3d.ops.voxelize import voxelize_batch as _vox
+
+    def train_step(state, batch):
+        res = _vox(
+            batch["points"], batch["points_valid"], cfg.voxel_size,
+            cfg.pc_range, cfg.grid_size, cfg.max_voxels,
+            cfg.max_points_per_voxel,
+        )
+
+        def loss_fn(params):
+            (preds, _), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                res.features, res.coords, train=True, mutable=["batch_stats"],
+            )
+            total, logs = transfusion_loss(
+                cfg, preds, batch["gt_boxes"], batch["gt_classes"],
+                batch["gt_valid"],
+            )
+            return total, (logs, updates)
+
+        (_, (logs, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=updates["batch_stats"]
+        )
+        return state, logs
+
+    return train_step
+
+
 def make_centerpoint_eval_step(model: CenterPoint, cfg: CenterPointConfig) -> Callable:
     def eval_step(state: TrainState, batch):
         res = voxelize_batch(

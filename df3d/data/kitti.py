@@ -88,6 +88,21 @@ class KittiDataset:
     def __len__(self):
         return len(self.infos)
 
+    def _fov_crop(self, points, proj, image_shape):
+        h, w = int(image_shape[0]), int(image_shape[1])
+        if self._cpp is not None:
+            keep = self._cpp.fov_mask(points, proj, h, w)
+        else:
+            homo = np.concatenate(
+                [points[:, :3], np.ones_like(points[:, :1])], axis=1
+            )
+            uvw = homo @ proj.T
+            depth = uvw[:, 2]
+            u = uvw[:, 0] / np.maximum(depth, 1e-6)
+            v = uvw[:, 1] / np.maximum(depth, 1e-6)
+            keep = (depth > 0.1) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        return points[keep]
+
     def load_points(self, idx: str) -> np.ndarray:
         path = self.root / "training" / "velodyne" / f"{idx}.bin"
         if self._cpp is not None:
@@ -103,11 +118,17 @@ class KittiDataset:
             "R0": info["calib"]["R0_rect"][:3, :3].astype(np.float32),
             "V2C": info["calib"]["Tr_velo_to_cam"][:3, :4].astype(np.float32),
         }
+        proj = lidar_to_img_matrix(calib)
+        image_shape = np.asarray(
+            info.get("image", {}).get("image_shape", np.array([375, 1242]))
+        )
+        if self.training:  # pcdet FOV_POINTS_ONLY: camera-frustum crop
+            points = self._fov_crop(points, proj, image_shape)
         out = {
             "sample_idx": sample_idx,
             "points": points,
-            "proj": lidar_to_img_matrix(calib),
-            "image_shape": info.get("image", {}).get("image_shape", np.array([375, 1242])),
+            "proj": proj,
+            "image_shape": image_shape,
         }
         if "annos" in info:
             annos = info["annos"]

@@ -88,6 +88,25 @@ class Runner:
             self.global_step = step
             self.logger.info(f"auto-resumed from step {step}")
 
+    def profile_steps(self, start: int, num: int = 5):
+        """Capture a jax profiler trace for steps [start, start+num) into
+        work_dir/profile (replaces the reference's ad-hoc iteration timers,
+        SURVEY §5.1)."""
+        self._profile_window = (start, start + num)
+
+    _profile_window = None
+
+    def _maybe_profile(self):
+        if self._profile_window is None:
+            return
+        lo, hi = self._profile_window
+        if self.global_step == lo:
+            jax.profiler.start_trace(str(self.work_dir / "profile"))
+        elif self.global_step == hi:
+            jax.profiler.stop_trace()
+            self.logger.info(f"profiler trace written to {self.work_dir}/profile")
+            self._profile_window = None
+
     def run(self, data_iter_fn: Callable[[], Iterable[dict]]):
         self.resume()
         t_data = t_step = 0.0
@@ -101,6 +120,7 @@ class Runner:
                 except StopIteration:
                     break
                 t1 = time.perf_counter()
+                self._maybe_profile()
                 self.state, logs = self.train_step(self.state, batch)
                 if self.global_step % self.log_interval == 0:
                     logs = {

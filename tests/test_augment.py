@@ -60,3 +60,32 @@ def test_project_box_to_image_bbox():
     bbox, depth = A.project_box_to_image_bbox(box, proj, (100, 100))
     assert abs(depth - 10.0) < 1e-4
     assert bbox[0] < 50 < bbox[2] and bbox[1] < 50 < bbox[3]
+
+
+def test_make_train_transform_end_to_end(tmp_path):
+    from df3d.data.transforms import make_train_transform
+
+    rng = np.random.RandomState(3)
+    obj = rng.randn(20, 4).astype(np.float32) * 0.3
+    np.save(tmp_path / "o.npy", obj)
+    db = {"Car": [
+        {"path": "o.npy", "num_points": 20,
+         "box3d_lidar": np.array([15.0 + 4 * i, 0, 0, 4, 2, 1.5, 0], np.float32)}
+        for i in range(4)
+    ]}
+    sampler = A.GTSampler(db, {"Car": 2}, root=tmp_path)
+    tf = make_train_transform(gt_sampler=sampler, image_paste=True)
+
+    sample = {
+        "points": rng.uniform(-10, 10, (200, 4)).astype(np.float32),
+        "gt_boxes": np.array([[5.0, 5.0, 0, 4, 2, 1.5, 0.3]], np.float32),
+        "gt_names": np.array(["Car"]),
+        "image": np.zeros((64, 96, 3), np.uint8),
+        "proj": np.array([[60, -60, 0, 48], [0, -20, -60, 32], [1, 0, 0, 0]],
+                         np.float32),
+    }
+    out = tf(sample, rng)
+    assert len(out["gt_boxes"]) >= 2  # sampled objects added
+    assert "aug_params" in out
+    assert out["gt_classes"].dtype == np.int32
+    assert out["points"].shape[1] == 4

@@ -159,3 +159,34 @@ def test_sort_path_matches_dense_path(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(conv_dense.gather_idx), np.asarray(conv_sort.gather_idx)
     )
+
+
+def test_conv_plan_cap_overflow_truncates_by_key_order():
+    """When unique outputs exceed max_out, the lowest linearized keys are
+    kept and the rest dropped (documented static-cap behavior)."""
+    rng = np.random.RandomState(9)
+    st = _random_sparse(rng, batch=1, shape=(8, 12, 12), n=80, pad_to=96)
+    full = build_conv_plan(st, 3, 2, 1, max_out=256)
+    n_unique = int((np.asarray(full.out_coords)[0, :, 0] >= 0).sum())
+    assert n_unique > 16
+    small = build_conv_plan(st, 3, 2, 1, max_out=16)
+    oc_small = np.asarray(small.out_coords)[0]
+    oc_full = np.asarray(full.out_coords)[0][:16]
+    np.testing.assert_array_equal(oc_small, oc_full)  # prefix preserved
+
+
+def test_voxelize_cap_overflow():
+    """More occupied voxels than max_voxels: first-by-key kept, counts clamp."""
+    from df3d.ops import voxelize as V
+
+    rng = np.random.RandomState(10)
+    pts = jnp.asarray(rng.uniform(-4, 4, (500, 4)).astype(np.float32))
+    res = V.voxelize(
+        pts, jnp.ones(500, bool), (0.5, 0.5, 0.5), (-4, -4, -4, 4, 4, 4),
+        (16, 16, 16), max_voxels=32, max_points_per_voxel=5,
+    )
+    assert int(res.num_voxels) == 32
+    coords = np.asarray(res.coords)
+    assert np.all(coords[:, 0] >= 0)  # all slots filled
+    # dropped points flagged -1
+    assert (np.asarray(res.point_voxel_id) == -1).sum() > 0

@@ -76,12 +76,64 @@ def main():
     dt = time.perf_counter() - t0
     fps = iters / dt
 
-    print(json.dumps({
+    result = {
         "metric": "centerpoint_0075voxel_infer_fps_bs1",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 11.0, 3),
-    }))
+    }
+
+    # training throughput (driver-visible; guarded so a failure or slow
+    # compile can never lose the headline metric)
+    try:
+        deadline = time.monotonic() + 15 * 60
+        from df3d.train.schedules import adam_onecycle
+        from df3d.train.trainer import (
+            create_centerpoint_state, make_centerpoint_train_step,
+        )
+
+        rng2 = np.random.RandomState(1)
+        for bs in (1, 2):
+            if time.monotonic() > deadline:
+                break
+            tr_pts = jnp.asarray(np.tile(pts, (bs, 1, 1)))
+            tr_valid = jnp.ones(tr_pts.shape[:2], bool)
+            m = 64
+            batch = {
+                "points": tr_pts,
+                "points_valid": tr_valid,
+                "gt_boxes": jnp.asarray(
+                    np.concatenate(
+                        [rng2.uniform(-50, 50, (bs, m, 2)),
+                         rng2.uniform(-2, 0, (bs, m, 1)),
+                         rng2.uniform(1, 5, (bs, m, 3)),
+                         rng2.uniform(-3, 3, (bs, m, 1)),
+                         rng2.uniform(-2, 2, (bs, m, 2))], -1,
+                    ).astype(np.float32)
+                ),
+                "gt_classes": jnp.asarray(
+                    rng2.randint(0, 10, (bs, m)).astype(np.int32)),
+                "gt_valid": jnp.ones((bs, m), bool),
+            }
+            if bs == 1:
+                tx = adam_onecycle(1e-3, 100)
+                model_t, state = create_centerpoint_state(
+                    cfg, jax.random.PRNGKey(0), tx, tr_pts[:1, :4096])
+                step = jax.jit(make_centerpoint_train_step(model_t, cfg))
+            state_b = state
+            state_b, logs = step(state_b, batch)  # compile + warmup
+            float(logs["loss"])
+            t0 = time.perf_counter()
+            n = 3
+            for _ in range(n):
+                state_b, logs = step(state_b, batch)
+                float(logs["loss"])
+            result[f"train_step_sec_bs{bs}"] = round(
+                (time.perf_counter() - t0) / n, 3)
+    except Exception as e:  # pragma: no cover
+        result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

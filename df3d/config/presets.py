@@ -95,4 +95,8 @@ PRESETS = {
 
 
 def get_preset(name: str):
+    if name not in PRESETS:
+        raise KeyError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+        )
     return PRESETS[name]()

@@ -86,13 +86,19 @@ def nms_circle(
     """Circle NMS: suppress by center L2^2 distance (CenterPoint alt path).
 
     centers (N,2), scores (N,) -> (indices, mask) of size post_max_size.
+
+    `min_radius` is the SQUARED-distance threshold, matching the reference
+    circle_nms (CenterPoint/det3d/core/utils/circle_nms_jit.py: `dist =
+    (x1-x2)**2 + (y1-y2)**2 ... dist <= thresh` with the config's per-class
+    min_radius passed directly as `thresh`). Config values like 4/12/0.85
+    port over unchanged.
     """
     scores = jnp.where(valid, scores, _NEG_INF) if valid is not None else scores
     order = jnp.argsort(-scores)
     cand = centers[order]
     d2 = jnp.sum((cand[:, None, :] - cand[None, :, :]) ** 2, axis=-1)
     # circle NMS keeps i if no higher-scored kept j within radius
-    closeness = jnp.where(d2 < min_radius**2, 1.0, 0.0)
+    closeness = jnp.where(d2 <= min_radius, 1.0, 0.0)
     keep = _greedy_suppress(closeness, 0.5) & (scores[order] > _NEG_INF / 2)
     rank = jnp.cumsum(keep) - 1
     pos = jnp.where(keep, rank, post_max_size)

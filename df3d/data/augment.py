@@ -189,8 +189,12 @@ class GTSampler:
         return pts.reshape(-1, info.get("num_features", 4))
 
     def __call__(self, points, gt_boxes, gt_names, rng):
+        """-> (points, gt_boxes, gt_names, sampled_infos) where
+        sampled_infos are the db entries of the objects actually placed
+        (ordered like the appended boxes) — the image-paste branch reads
+        stored crops from them."""
         placed_boxes = [] if gt_boxes is None else [gt_boxes]
-        new_points, new_boxes, new_names = [], [], []
+        new_points, new_boxes, new_names, new_infos = [], [], [], []
         for cls, target in self.groups.items():
             pool = self.db.get(cls, [])
             if not pool:
@@ -226,11 +230,12 @@ class GTSampler:
                 new_points.append(obj)
                 new_boxes.append(b)
                 new_names.append(cls)
+                new_infos.append(info)
             if keep:
                 placed_boxes.append(cand_boxes[keep])
 
         if not new_boxes:
-            return points, gt_boxes, gt_names
+            return points, gt_boxes, gt_names, []
         add_boxes = np.stack(new_boxes)
         # remove scene points inside pasted boxes (pcdet remove_points_in_boxes3d)
         points = _remove_points_in_boxes(points, add_boxes[:, :7])
@@ -243,7 +248,21 @@ class GTSampler:
             if gt_names is None
             else np.concatenate([gt_names, np.asarray(new_names)])
         )
-        return points, gt_boxes, gt_names
+        return points, gt_boxes, gt_names, new_infos
+
+    def load_crop(self, info):
+        """Stored image crop of a db object, or None if the database was
+        built without camera data (create_data --with-image-crops)."""
+        if "image_crop" in info:
+            return np.asarray(info["image_crop"])
+        if "image_crop_path" in info:
+            import pathlib
+
+            p = info["image_crop_path"]
+            if self.root is not None:
+                p = str(pathlib.Path(self.root) / p)
+            return np.load(p)
+        return None
 
 
 def paste_objects_to_image(image, crops, boxes2d, depths):

@@ -148,4 +148,6 @@ class KittiDataset:
             out["gt_classes"] = np.array(
                 [self.class_names.index(n) for n in names[keep]], np.int32
             )
+            if "bbox" in annos:  # label-2D boxes (image-crop gt-database)
+                out["gt_bbox2d"] = annos["bbox"][mask][keep].astype(np.float32)
         return out

@@ -3,11 +3,16 @@
 Behavioral equivalent of VoxelRCNN/pcdet/datasets/kitti/
 kitti_object_eval_python/{eval.py,rotate_iou.py} minus the numba-CUDA
 rotated IoU (replaced with a numpy polygon-clip identical in math to
-df3d.core.iou). Implements:
-  * difficulty buckets (bbox height / occlusion / truncation),
+df3d.core.iou). Implements the full official protocol:
+  * difficulty buckets (gt bbox height / occlusion / truncation),
   * ignored-gt handling (difficulty fail or neighboring class),
-  * two-pass greedy matching with 40-recall-point score thresholds,
-  * metrics: 3D AP and BEV AP per class/difficulty.
+  * det-side ignoring (2D bbox height below the difficulty minimum),
+  * DontCare-region suppression of unmatched dets (2D bbox metric),
+  * official get_thresholds recall-point selection,
+  * two-pass matching: pass 1 (threshold collection) picks the
+    HIGHEST-SCORE det over min_overlap; pass 2 (precision) picks the
+    MAX-OVERLAP non-ignored det,
+  * metrics: 3D AP / BEV AP / 2D bbox AP per class/difficulty.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ DIFFICULTY = {  # min bbox height px, max occlusion, max truncation
 MIN_OVERLAP = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 NEIGHBOR_CLASSES = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
 N_SAMPLE_PTS = 41
+_NO_DET = -(10 ** 7)
 
 
 def _rect_corners(boxes):
@@ -95,112 +101,222 @@ def iou_3d_np(boxes_a, boxes_b):
     return inter_vol / np.maximum(vol_a[:, None] + vol_b[None] - inter_vol, 1e-9)
 
 
-def classify_gts(annos, cls: str, difficulty: int):
-    """Per-frame gt status: 0 = evaluate, 1 = ignore, -1 = skip (other cls)."""
-    min_h, max_occ, max_trunc = DIFFICULTY[difficulty]
-    status = []
-    for i, name in enumerate(annos["name"]):
-        h = annos["bbox"][i][3] - annos["bbox"][i][1] if "bbox" in annos else 1e9
-        occ = annos.get("occluded", np.zeros(len(annos["name"])))[i]
-        trunc = annos.get("truncated", np.zeros(len(annos["name"])))[i]
-        if name == cls:
-            if occ > max_occ or trunc > max_trunc or h < min_h:
-                status.append(1)
+def image_box_overlap(boxes, qboxes, criterion=-1):
+    """Axis-aligned 2D bbox overlap; criterion 0 normalizes by the det area
+    (the official DontCare test)."""
+    n, k = len(boxes), len(qboxes)
+    out = np.zeros((n, k), np.float32)
+    for j in range(k):
+        qarea = (qboxes[j][2] - qboxes[j][0]) * (qboxes[j][3] - qboxes[j][1])
+        for i in range(n):
+            iw = min(boxes[i][2], qboxes[j][2]) - max(boxes[i][0], qboxes[j][0])
+            ih = min(boxes[i][3], qboxes[j][3]) - max(boxes[i][1], qboxes[j][1])
+            if iw <= 0 or ih <= 0:
+                continue
+            darea = (boxes[i][2] - boxes[i][0]) * (boxes[i][3] - boxes[i][1])
+            if criterion == -1:
+                ua = darea + qarea - iw * ih
+            elif criterion == 0:
+                ua = darea
             else:
-                status.append(0)
+                ua = qarea
+            out[i, j] = iw * ih / max(ua, 1e-9)
+    return out
+
+
+def clean_frame(gt, det, cls: str, difficulty: int):
+    """Official clean_data: per-frame gt status, det status, DontCare boxes.
+
+    status codes: 0 = evaluate, 1 = ignore (matching is neutral),
+    -1 = skip entirely (other class).
+    gt ignore: difficulty fail (height <= min_h strict, per the official
+    code) or neighboring class; det ignore: 2D bbox height < min_h.
+    """
+    min_h, max_occ, max_trunc = DIFFICULTY[difficulty]
+    ng = len(gt["name"])
+    gt_status = np.full(ng, -1, np.int32)
+    num_valid_gt = 0
+    dc_bboxes = []
+    occ = gt.get("occluded", np.zeros(ng))
+    trunc = gt.get("truncated", np.zeros(ng))
+    for i, name in enumerate(gt["name"]):
+        h = gt["bbox"][i][3] - gt["bbox"][i][1] if "bbox" in gt else 1e9
+        if name == cls:
+            valid = 1
         elif name in NEIGHBOR_CLASSES.get(cls, ()):
-            status.append(1)
+            valid = 0
         else:
-            status.append(-1)
-    return np.asarray(status, np.int32)
+            valid = -1
+        ignore = occ[i] > max_occ or trunc[i] > max_trunc or h <= min_h
+        if valid == 1 and not ignore:
+            gt_status[i] = 0
+            num_valid_gt += 1
+        elif valid == 0 or (ignore and valid == 1):
+            gt_status[i] = 1
+        if name == "DontCare" and "bbox" in gt:
+            dc_bboxes.append(gt["bbox"][i])
+
+    nd = len(det["name"]) if "name" in det else len(det["boxes_lidar"])
+    det_status = np.full(nd, -1, np.int32)
+    for j in range(nd):
+        is_cls = det["name"][j] == cls if "name" in det else True
+        h = (
+            abs(det["bbox"][j][3] - det["bbox"][j][1])
+            if "bbox" in det
+            else 1e9
+        )
+        if h < min_h:
+            det_status[j] = 1
+        elif is_cls:
+            det_status[j] = 0
+    return gt_status, det_status, dc_bboxes, num_valid_gt
 
 
-def _match_frame(iou, det_scores, gt_status, min_overlap, thresh):
-    """Greedy official matching at a score threshold.
+def compute_statistics(
+    overlaps, det_scores, gt_status, det_status, dc_overlaps,
+    min_overlap, thresh, compute_fp,
+):
+    """Official compute_statistics_jit semantics (minus AOS).
 
-    Returns (tp, fp, fn, tp_scores)."""
-    nd, ng = iou.shape[0], iou.shape[1]
-    assigned_det = np.full(nd, False)
+    overlaps (nd, ng); dc_overlaps (nd, n_dc) criterion-0 image overlap of
+    dets vs DontCare regions, or None (non-bbox metrics).
+    Returns (tp, fp, fn, tp_scores).
+    """
+    nd, ng = overlaps.shape
+    assigned = np.zeros(nd, bool)
+    ignored_threshold = (
+        det_scores < thresh if compute_fp else np.zeros(nd, bool)
+    )
     tp = fp = fn = 0
     tp_scores = []
-    ignored_det = np.full(nd, False)
-    for j in range(ng):
-        if gt_status[j] == -1:
+    for i in range(ng):
+        if gt_status[i] == -1:
             continue
-        best_iou, best_d = 0.0, -1
-        for d in range(nd):
-            if assigned_det[d] or det_scores[d] < thresh:
+        det_idx = -1
+        valid_detection = _NO_DET
+        max_overlap = 0.0
+        assigned_ignored_det = False
+        for j in range(nd):
+            if det_status[j] == -1 or assigned[j] or ignored_threshold[j]:
                 continue
-            if iou[d, j] > best_iou and iou[d, j] >= min_overlap:
-                best_iou, best_d = iou[d, j], d
-        if best_d >= 0:
-            assigned_det[best_d] = True
-            if gt_status[j] == 0:
-                tp += 1
-                tp_scores.append(det_scores[best_d])
-            else:
-                ignored_det[best_d] = True
-        elif gt_status[j] == 0:
+            overlap = overlaps[j, i]
+            if not compute_fp:
+                # pass 1: highest-score det over min_overlap
+                if overlap > min_overlap and det_scores[j] > valid_detection:
+                    det_idx = j
+                    valid_detection = det_scores[j]
+            elif (overlap > min_overlap
+                  and (overlap > max_overlap or assigned_ignored_det)
+                  and det_status[j] == 0):
+                # pass 2: max-overlap non-ignored det wins
+                max_overlap = overlap
+                det_idx = j
+                valid_detection = 1
+                assigned_ignored_det = False
+            elif (overlap > min_overlap and valid_detection == _NO_DET
+                  and det_status[j] == 1):
+                det_idx = j
+                valid_detection = 1
+                assigned_ignored_det = True
+        if valid_detection == _NO_DET and gt_status[i] == 0:
             fn += 1
-    for d in range(nd):
-        if det_scores[d] >= thresh and not assigned_det[d]:
-            fp += 1
+        elif valid_detection != _NO_DET and (
+            gt_status[i] == 1 or det_status[det_idx] == 1
+        ):
+            assigned[det_idx] = True
+        elif valid_detection != _NO_DET:
+            tp += 1
+            tp_scores.append(det_scores[det_idx])
+            assigned[det_idx] = True
+    if compute_fp:
+        for j in range(nd):
+            if not (assigned[j] or det_status[j] != 0 or ignored_threshold[j]):
+                fp += 1
+        if dc_overlaps is not None and dc_overlaps.shape[1]:
+            nstuff = 0
+            for k in range(dc_overlaps.shape[1]):
+                for j in range(nd):
+                    if assigned[j] or det_status[j] != 0 or ignored_threshold[j]:
+                        continue
+                    if dc_overlaps[j, k] > min_overlap:
+                        assigned[j] = True
+                        nstuff += 1
+            fp -= nstuff
     return tp, fp, fn, tp_scores
+
+
+def get_thresholds(scores, num_gt, num_sample_pts=N_SAMPLE_PTS):
+    """Official recall-point score thresholds (eval.py get_thresholds)."""
+    scores = np.sort(scores)[::-1]
+    current_recall = 0.0
+    thresholds = []
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(score)
+        current_recall += 1.0 / (num_sample_pts - 1.0)
+    return thresholds
+
+
+def _frame_overlaps(gt, det, metric):
+    """All dets vs all gts (the official code never slices by class: other-
+    class dets carry status -1/1 and flow through the matching logic)."""
+    if metric == "bbox":
+        det_boxes = np.asarray(det["bbox"])
+        gt_boxes = np.asarray(gt["bbox"])
+    else:
+        det_boxes = det["boxes_lidar"]
+        gt_boxes = gt["boxes_lidar"]
+    if not (len(det_boxes) and len(gt_boxes)):
+        return np.zeros((len(det_boxes), len(gt_boxes)), np.float32)
+    if metric == "bbox":
+        return image_box_overlap(det_boxes, gt_boxes)
+    fn = iou_3d_np if metric == "3d" else rotated_iou_bev
+    return fn(det_boxes, gt_boxes)
 
 
 def eval_class(gt_annos, det_annos, cls: str, difficulty: int,
                metric: str = "3d"):
     """-> dict(ap=R40 AP %, precision curve, recall thresholds)."""
     min_ov = MIN_OVERLAP[cls]
-    ious, statuses, scores_all = [], [], []
+    frames = []
     total_valid_gt = 0
     for gt, det in zip(gt_annos, det_annos):
-        status = classify_gts(gt, cls, difficulty)
-        det_mask = det["name"] == cls if "name" in det else np.ones(
-            len(det["boxes_lidar"]), bool
+        gt_status, det_status, dc_bboxes, nvalid = clean_frame(
+            gt, det, cls, difficulty
         )
-        det_boxes = det["boxes_lidar"][det_mask]
-        det_scores = det["score"][det_mask]
-        gt_boxes = gt["boxes_lidar"]
-        if metric == "3d":
-            iou = iou_3d_np(det_boxes, gt_boxes) if len(det_boxes) and len(gt_boxes) else np.zeros((len(det_boxes), len(gt_boxes)), np.float32)
-        else:
-            iou = rotated_iou_bev(det_boxes, gt_boxes) if len(det_boxes) and len(gt_boxes) else np.zeros((len(det_boxes), len(gt_boxes)), np.float32)
-        ious.append(iou)
-        statuses.append(status)
-        scores_all.append(det_scores)
-        total_valid_gt += int((status == 0).sum())
+        overlaps = _frame_overlaps(gt, det, metric)
+        dc_ov = None
+        if metric == "bbox" and "bbox" in det and len(dc_bboxes):
+            dc_ov = image_box_overlap(
+                np.asarray(det["bbox"]), np.asarray(dc_bboxes), criterion=0,
+            )
+        det_scores = np.asarray(det["score"])
+        frames.append((overlaps, det_scores, gt_status, det_status, dc_ov))
+        total_valid_gt += nvalid
 
     if total_valid_gt == 0:
         return {"ap": 0.0, "precision": np.zeros(N_SAMPLE_PTS), "thresholds": []}
 
-    # pass 1: all TP scores at threshold 0
+    # pass 1: collect TP scores with no threshold
     tp_scores = []
-    for iou, st, sc in zip(ious, statuses, scores_all):
-        _, _, _, tps = _match_frame(iou, sc, st, min_ov, -1e9)
+    for overlaps, sc, gst, dst, _ in frames:
+        _, _, _, tps = compute_statistics(
+            overlaps, sc, gst, dst, None, min_ov, 0.0, compute_fp=False
+        )
         tp_scores.extend(tps)
-    tp_scores = np.sort(tp_scores)[::-1]
-
-    # recall-position thresholds
-    thresholds = []
-    cur_recall = 0.0
-    for i, s in enumerate(tp_scores):
-        r = (i + 1) / total_valid_gt
-        if i < len(tp_scores) - 1:
-            r_next = (i + 2) / total_valid_gt
-        else:
-            r_next = r
-        if (r - cur_recall) >= (r_next - r) or r_next == r:
-            thresholds.append(s)
-            cur_recall += 1.0 / (N_SAMPLE_PTS - 1)
-        if len(thresholds) >= N_SAMPLE_PTS:
-            break
+    thresholds = get_thresholds(np.asarray(tp_scores), total_valid_gt)
 
     precision = np.zeros(N_SAMPLE_PTS)
     for ti, th in enumerate(thresholds):
         tp = fp = fn = 0
-        for iou, st, sc in zip(ious, statuses, scores_all):
-            t, f, n, _ = _match_frame(iou, sc, st, min_ov, th)
+        for overlaps, sc, gst, dst, dc_ov in frames:
+            t, f, n, _ = compute_statistics(
+                overlaps, sc, gst, dst, dc_ov, min_ov, th, compute_fp=True
+            )
             tp += t
             fp += f
             fn += n

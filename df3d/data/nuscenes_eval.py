@@ -2,10 +2,23 @@
 
 Behavioral equivalent of the official nuscenes-devkit evaluation the
 reference calls (CenterPoint/det3d/datasets/nuscenes/nuscenes.py:203-310
-`eval_main`): center-distance matching at {0.5, 1, 2, 4} m, AP as the
-normalized area of the (precision>0.1, recall>0.1) region sampled at 101
-recall points, TP errors (ATE/ASE/AOE/AVE/AAE) at the 2 m threshold, and
-NDS = (5*mAP + sum(1 - min(1, err))) / 10.
+`eval_main`), reimplementing the published algorithm faithfully:
+
+  * per-class ego-distance range filtering of BOTH gts and dets,
+  * greedy center-distance matching in GLOBAL descending-score order at
+    thresholds {0.5, 1, 2, 4} m (match state per frame),
+  * AP = normalized area of the (precision - 0.1)+ region over recall
+    in (0.1, 1], sampled at 101 recall points, NO monotonic envelope,
+  * TP errors (ATE/ASE/AOE/AVE/AAE) at the 2 m threshold as
+    cumulative means over TPs interpolated onto the confidence curve,
+    averaged over recall in [0.1, max_achieved_recall],
+  * class/metric exclusions (cones: no AOE; cones+barriers: no AVE/AAE;
+    barrier AOE period pi) via NaN + nanmean,
+  * NDS = (5*mAP + sum(1 - min(1, err))) / 10.
+
+Attributes: pass 'attrs' (int codes, -1 = void) in the frame dicts to get
+real AAE; without them attr_err is NaN per class and NDS grants NO
+attribute credit (err treated as 1), never full credit.
 
 The devkit is not available in this environment; this module reimplements
 the published metric definition directly.
@@ -20,12 +33,17 @@ TP_METRICS = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
 # classes where some TP metrics are not defined (devkit convention)
 NO_VEL_CLASSES = {"barrier", "traffic_cone"}
 NO_ORIENT_CLASSES = {"traffic_cone"}
-
-
-def _center_dist(det_boxes, gt_boxes):
-    return np.linalg.norm(
-        det_boxes[:, None, :2] - gt_boxes[None, :, :2], axis=-1
-    )
+NO_ATTR_CLASSES = {"barrier", "traffic_cone"}
+# devkit detection_cvpr_2019 class_range (ego-distance metres)
+CLASS_RANGE = {
+    "car": 50.0, "truck": 50.0, "bus": 50.0, "trailer": 50.0,
+    "construction_vehicle": 50.0, "pedestrian": 40.0, "motorcycle": 40.0,
+    "bicycle": 40.0, "traffic_cone": 30.0, "barrier": 30.0,
+}
+MAX_BOXES_PER_SAMPLE = 500
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+N_REC_PTS = 101
 
 
 def _scale_iou(det, gt):
@@ -41,103 +59,183 @@ def _yaw_diff(a, b, period=2 * np.pi):
     return min(d, period - d)
 
 
-def accumulate_class(
-    gt_by_frame, det_by_frame, cls: str, dist_th: float,
-):
-    """One (class, distance-threshold) accumulation.
+def _cummean(x):
+    if len(x) == 0:
+        return np.zeros(0)
+    return np.cumsum(x) / (np.arange(len(x)) + 1)
+
+
+def _filter_range(boxes, names, rng_of):
+    if len(boxes) == 0:
+        return np.ones(0, bool)
+    dist = np.linalg.norm(boxes[:, :2], axis=-1)
+    maxd = np.array([rng_of(n) for n in names])
+    return dist < maxd
+
+
+def accumulate_class(gt_by_frame, det_by_frame, cls: str, dist_th: float):
+    """One (class, distance-threshold) accumulation (devkit algo.accumulate).
 
     gt_by_frame / det_by_frame: lists per frame of dicts with
-    'boxes' (N, 9) [x,y,z,dx,dy,dz,yaw,vx,vy], 'names' (N,), det also
-    'scores'. Returns dict(ap=..., tp_errors={...} if dist_th == 2.0).
+    'boxes' (N, >=7|9) [x,y,z,dx,dy,dz,yaw(,vx,vy)], 'names' (N,), det also
+    'scores'; optional 'attrs' (N,) int codes (-1 = void).
+    Returns dict(ap, tp_errors, npos).
     """
-    all_scores, all_tp, all_fp = [], [], []
-    tp_err = {m: [] for m in TP_METRICS}
+    rng_of = lambda n: CLASS_RANGE.get(n, 50.0)
+
+    # collect per-frame filtered gt, and all dets of the class globally
+    gts = []
     npos = 0
-
-    for gt, det in zip(gt_by_frame, det_by_frame):
-        g_mask = gt["names"] == cls
-        g_boxes = gt["boxes"][g_mask]
+    det_rows = []  # (score, frame_idx, box, attr)
+    for fi, (gt, det) in enumerate(zip(gt_by_frame, det_by_frame)):
+        g_keep = (gt["names"] == cls) & _filter_range(
+            gt["boxes"], gt["names"], rng_of)
+        g_boxes = gt["boxes"][g_keep]
+        g_attrs = (
+            np.asarray(gt["attrs"])[g_keep] if "attrs" in gt
+            else np.full(len(g_boxes), -1)
+        )
+        gts.append((g_boxes, g_attrs, np.zeros(len(g_boxes), bool)))
         npos += len(g_boxes)
-        d_mask = det["names"] == cls
-        d_boxes = det["boxes"][d_mask]
-        d_scores = det["scores"][d_mask]
-        order = np.argsort(-d_scores)
-        d_boxes, d_scores = d_boxes[order], d_scores[order]
 
-        taken = np.zeros(len(g_boxes), bool)
-        if len(g_boxes):
-            dists = _center_dist(d_boxes, g_boxes)
-        for i in range(len(d_boxes)):
-            best_j, best_d = -1, dist_th
-            for j in range(len(g_boxes)):
-                if not taken[j] and dists[i, j] < best_d:
-                    best_d, best_j = dists[i, j], j
-            all_scores.append(d_scores[i])
-            if best_j >= 0:
-                taken[best_j] = True
-                all_tp.append(1)
-                all_fp.append(0)
-                g = g_boxes[best_j]
-                d = d_boxes[i]
-                tp_err["trans_err"].append(best_d)
-                tp_err["scale_err"].append(1 - _scale_iou(d, g))
-                period = np.pi if cls == "barrier" else 2 * np.pi
-                tp_err["orient_err"].append(
-                    0.0 if cls in NO_ORIENT_CLASSES else _yaw_diff(d[6], g[6], period)
-                )
-                tp_err["vel_err"].append(
-                    0.0 if cls in NO_VEL_CLASSES or d.shape[0] < 9
-                    else float(np.linalg.norm(d[7:9] - g[7:9]))
-                )
-                tp_err["attr_err"].append(0.0)  # attributes not modeled
-            else:
-                all_tp.append(0)
-                all_fp.append(1)
+        d_keep = (det["names"] == cls) & _filter_range(
+            det["boxes"], det["names"], rng_of)
+        # devkit caps detections per sample (assert <= 500); keep top-scored
+        d_idx = np.flatnonzero(d_keep)
+        if len(d_idx) > MAX_BOXES_PER_SAMPLE:
+            top = np.argsort(-det["scores"][d_idx])[:MAX_BOXES_PER_SAMPLE]
+            d_idx = d_idx[top]
+        for i in d_idx:
+            attr = det["attrs"][i] if "attrs" in det else -1
+            det_rows.append((float(det["scores"][i]), fi, det["boxes"][i], attr))
 
-    if npos == 0 or not all_scores:
-        return {"ap": 0.0, "tp_errors": {m: 1.0 for m in TP_METRICS}}
+    if npos == 0:
+        return {"ap": np.nan, "tp_errors": {m: np.nan for m in TP_METRICS},
+                "npos": 0}
 
-    order = np.argsort(-np.asarray(all_scores))
-    tp = np.cumsum(np.asarray(all_tp)[order])
-    fp = np.cumsum(np.asarray(all_fp)[order])
-    recall = tp / npos
-    precision = tp / np.maximum(tp + fp, 1)
+    # global greedy matching in descending score order
+    det_rows.sort(key=lambda r: -r[0])
+    tp, fp, conf = [], [], []
+    match = {m: [] for m in TP_METRICS}
+    match_conf = []
+    for score, fi, d, d_attr in det_rows:
+        g_boxes, g_attrs, taken = gts[fi]
+        best_j, best_d = -1, dist_th
+        for j in range(len(g_boxes)):
+            if not taken[j]:
+                dd = np.hypot(d[0] - g_boxes[j, 0], d[1] - g_boxes[j, 1])
+                if dd < best_d:
+                    best_d, best_j = dd, j
+        conf.append(score)
+        if best_j < 0:
+            tp.append(0)
+            fp.append(1)
+            continue
+        taken[best_j] = True
+        tp.append(1)
+        fp.append(0)
+        g = g_boxes[best_j]
+        match["trans_err"].append(best_d)
+        match["scale_err"].append(1 - _scale_iou(d, g))
+        period = np.pi if cls == "barrier" else 2 * np.pi
+        match["orient_err"].append(
+            np.nan if cls in NO_ORIENT_CLASSES
+            else _yaw_diff(d[6], g[6], period))
+        match["vel_err"].append(
+            np.nan if cls in NO_VEL_CLASSES or len(d) < 9
+            else float(np.linalg.norm(np.asarray(d[7:9]) - g[7:9])))
+        ga = g_attrs[best_j]
+        match["attr_err"].append(
+            np.nan if cls in NO_ATTR_CLASSES or ga < 0 or d_attr < 0
+            else float(ga != d_attr))
+        match_conf.append(score)
 
-    # 101-point interpolated, clipped at recall/precision 0.1
-    r_pts = np.linspace(0, 1, 101)
-    p_interp = np.interp(r_pts, recall, precision, right=0)
-    p_interp = np.maximum.accumulate(p_interp[::-1])[::-1]
-    # devkit calc_ap: drop recall < 0.1, subtract min precision 0.1, renorm
-    p_clip = np.clip(p_interp[11:] - 0.1, 0, 1)
-    ap = p_clip.mean() / 0.9
+    tp = np.cumsum(tp).astype(float)
+    fp = np.cumsum(fp).astype(float)
+    conf = np.asarray(conf)
+    rec_interp = np.linspace(0, 1, N_REC_PTS)
+    if len(conf) == 0:
+        precision = np.zeros(N_REC_PTS)
+        confidence = np.zeros(N_REC_PTS)
+    else:
+        prec = tp / np.maximum(fp + tp, 1e-9)
+        rec = tp / npos
+        precision = np.interp(rec_interp, rec, prec, right=0)
+        confidence = np.interp(rec_interp, rec, conf, right=0)
 
-    # TP errors: cumulative mean up to max achieved recall (devkit approx:
-    # mean over all TPs here)
-    errs = {
-        m: float(np.mean(v)) if v else 1.0 for m, v in tp_err.items()
-    }
-    return {"ap": float(ap), "tp_errors": errs}
+    # AP (devkit calc_ap): clip min recall/precision 0.1, renormalize
+    p = precision[round(100 * MIN_RECALL) + 1:].copy()
+    p -= MIN_PRECISION
+    p[p < 0] = 0
+    ap = float(np.mean(p) / (1 - MIN_PRECISION))
+
+    # TP error curves: cumulative mean over TPs (by confidence),
+    # interpolated onto the confidence curve; averaged over recall in
+    # [min_recall, max achieved recall] (devkit calc_tp)
+    nz = np.nonzero(confidence)[0]
+    last_ind = nz[-1] if len(nz) else 0
+    first_ind = round(100 * MIN_RECALL) + 1
+    errs = {}
+    for m in TP_METRICS:
+        vals = np.asarray(match[m], float)
+        defined = ~np.isnan(vals)
+        if last_ind < first_ind:
+            errs[m] = 1.0
+        elif not defined.any():
+            errs[m] = np.nan
+        else:
+            mc = np.asarray(match_conf)[defined]
+            tmp = _cummean(vals[defined])
+            curve = np.interp(
+                confidence[::-1], mc[::-1], tmp[::-1])[::-1]
+            errs[m] = float(np.mean(curve[first_ind:last_ind + 1]))
+    return {"ap": ap, "tp_errors": errs, "npos": npos}
 
 
 def evaluate_nuscenes(gt_by_frame, det_by_frame, classes):
-    """-> dict with per-class AP per threshold, mAP, tp errors, NDS."""
+    """-> dict with per-class AP per threshold, mAP, tp errors, NDS.
+
+    Classes with no ground truth anywhere are excluded from the means
+    (devkit NaN behavior). Without attribute inputs, AAE is NaN and NDS
+    gives zero (not full) attribute credit.
+    """
     per_class = {}
     for cls in classes:
         aps = []
         tp_errors = None
+        npos = 0
         for th in DIST_THRESHOLDS:
             res = accumulate_class(gt_by_frame, det_by_frame, cls, th)
             aps.append(res["ap"])
+            npos = res["npos"]
             if th == 2.0:
                 tp_errors = res["tp_errors"]
-        per_class[cls] = {"ap": float(np.mean(aps)), "tp_errors": tp_errors}
+        per_class[cls] = {
+            "ap": float(np.mean(aps)) if npos else np.nan,
+            "tp_errors": tp_errors,
+            "npos": npos,
+        }
 
-    mean_ap = float(np.mean([v["ap"] for v in per_class.values()]))
-    mean_tp = {
-        m: float(np.mean([v["tp_errors"][m] for v in per_class.values()]))
-        for m in TP_METRICS
-    }
-    nds = (5 * mean_ap + sum(1 - min(1.0, mean_tp[m]) for m in TP_METRICS)) / 10.0
+    with np.errstate(invalid="ignore"):
+        ap_vals = np.asarray([v["ap"] for v in per_class.values()], float)
+        mean_ap = float(np.nanmean(ap_vals)) if not np.all(
+            np.isnan(ap_vals)) else 0.0
+        mean_tp = {}
+        for m in TP_METRICS:
+            vals = np.asarray(
+                [v["tp_errors"][m] for v in per_class.values()], float)
+            mean_tp[m] = (
+                float(np.nanmean(vals)) if not np.all(np.isnan(vals))
+                else np.nan
+            )
+    # NaN mean err (e.g. attributes not modeled) -> zero credit, never full
+    nds = (
+        5 * mean_ap
+        + sum(
+            0.0 if np.isnan(mean_tp[m]) else 1 - min(1.0, mean_tp[m])
+            for m in TP_METRICS
+        )
+    ) / 10.0
     return {
         "per_class": per_class, "mAP": mean_ap, "tp_errors": mean_tp,
         "NDS": float(nds),

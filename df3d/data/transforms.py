@@ -39,29 +39,28 @@ def make_train_transform(
 
         if gt_sampler is not None:
             n_before = 0 if boxes is None else len(boxes)
-            points, boxes, names = gt_sampler(points, boxes, names, rng)
+            points, boxes, names, infos = gt_sampler(points, boxes, names, rng)
             if (
                 image_paste and "image" in sample and "proj" in sample
                 and boxes is not None and len(boxes) > n_before
             ):
-                # composite the SAMPLED objects' crops into the camera image
+                # composite the SAMPLED objects' STORED db crops into the
+                # camera image, ordered by depth (pcdet database_sampler
+                # copy_paste_to_image); objects whose db entry carries no
+                # crop are skipped, never faked
                 new = boxes[n_before:]
                 crops, bboxes2d, depths = [], [], []
                 h, w = sample["image"].shape[:2]
-                for b in new:
+                for b, info in zip(new, infos):
+                    crop = gt_sampler.load_crop(info)
+                    if crop is None or crop.size == 0:
+                        continue
                     bb, depth = project_box_to_image_bbox(
                         b[:7], sample["proj"], (h, w)
                     )
                     if bb[2] - bb[0] < 2 or bb[3] - bb[1] < 2 or depth <= 0.1:
                         continue
-                    ch = int(bb[3]) - int(bb[1])
-                    cw = int(bb[2]) - int(bb[0])
-                    # without stored db crops, reuse the covered region
-                    # (real db crops attach via gt_sampler db 'image_crop')
-                    crops.append(
-                        sample["image"][int(bb[1]):int(bb[1]) + ch,
-                                        int(bb[0]):int(bb[0]) + cw].copy()
-                    )
+                    crops.append(crop.astype(sample["image"].dtype, copy=False))
                     bboxes2d.append(bb)
                     depths.append(depth)
                 if crops:

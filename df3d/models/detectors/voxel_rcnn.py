@@ -105,12 +105,12 @@ def build_anchors(cfg: VoxelRCNNConfig) -> jnp.ndarray:
 
 
 def anchor_class_ids(cfg: VoxelRCNNConfig) -> jnp.ndarray:
-    """class id of every flattened anchor."""
-    n_per = np.prod(
-        (cfg.bev_size_xy[1], cfg.bev_size_xy[0],
-         len(cfg.anchor_classes[0].rotations))
-    )
-    return jnp.repeat(jnp.arange(len(cfg.anchor_classes)), n_per)
+    """class id of every flattened anchor (location-major (y, x, cls, rot)
+    order, matching generate_anchors and the conv-channel flattening)."""
+    n_loc = cfg.bev_size_xy[0] * cfg.bev_size_xy[1]
+    n_rot = len(cfg.anchor_classes[0].rotations)
+    per_loc = np.repeat(np.arange(len(cfg.anchor_classes)), n_rot)
+    return jnp.asarray(np.tile(per_loc, n_loc))
 
 
 def proposal_layer(cfg: VoxelRCNNConfig, preds, anchors, train: bool):

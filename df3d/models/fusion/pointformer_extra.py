@@ -83,6 +83,65 @@ class GlobalTransformer(nn.Module):
         return jnp.where(valid[..., None], h, 0.0)
 
 
+class BasicDownBlock(nn.Module):
+    """Downsampling transformer block (pointformer.py BasicDownBlock:514):
+    LocalTransformer downsample (FPS centers + windowed attention, the
+    max-pooled center token kept) -> optional local-global combine ->
+    GlobalTransformer over the centers. Returns
+    (new_xyz (B, S, 3), center feats (B, S, C_out), fps_idx (B, S))."""
+
+    npoint: int = 1024
+    radius: float = 2.0
+    nsample: int = 16
+    d_model: int = 64
+    d_out: int = 64
+    nhead: int = 4
+    num_layers: int = 2
+    use_decoder: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features, valid):
+        from df3d.ops.pointops import ball_query
+
+        def sample_group(xyz_s, valid_s):
+            cidx = furthest_point_sample(xyz_s, valid_s, self.npoint)
+            centers = xyz_s[cidx]
+            idx, mask = ball_query(
+                centers, xyz_s, valid_s, self.radius, self.nsample)
+            return cidx, centers, idx, mask
+
+        cidx, centers, idx, mask = jax.vmap(sample_group)(xyz, valid)
+        g_xyz = jax.vmap(lambda x, i: x[i])(xyz, idx) - centers[:, :, None]
+        g_feat = jax.vmap(lambda f, i: f[i])(features, idx)
+        h = nn.Dense(self.d_model, name="in_proj")(g_feat)
+        pe = nn.Dense(self.d_model // 2, name="pe0")(g_xyz)
+        pe = nn.relu(pe)
+        pe = nn.Dense(self.d_model, name="pe1")(pe)
+        h = h + pe
+        for i in range(self.num_layers):
+            h = PreNormEncoderLayer(
+                self.d_model, self.nhead, name=f"local{i}")(h, mask)
+        h = jnp.where(mask[..., None], h, -1e9)
+        local = h.max(axis=2)  # pooled center token (B, S, C)
+        local = jnp.where(local <= -1e8, 0.0, local)
+        c_valid = jnp.take_along_axis(valid, cidx, axis=1) & mask.any(-1)
+
+        if self.use_decoder:
+            combined = LocalGlobalTransformer(
+                npoint_local=self.npoint, npoint_global=min(self.npoint, 256),
+                radius=self.radius, nsample=self.nsample,
+                d_model=self.d_model, nhead=self.nhead, name="combine",
+            )(centers, local, c_valid)
+            local = local + combined
+
+        out = GlobalTransformer(
+            npoint=min(self.npoint, 512), d_model=self.d_model,
+            num_layers=self.num_layers, nhead=self.nhead, name="global",
+        )(centers, local, c_valid)
+        out = nn.Dense(self.d_out, name="out_proj")(out)
+        return centers, jnp.where(c_valid[..., None], out, 0.0), cidx
+
+
 class LocalGlobalTransformer(nn.Module):
     """Local neighborhoods cross-attend to a global FPS token set
     (pointformer LocalGlobalTransformer:443)."""

@@ -43,8 +43,11 @@ def generate_anchors(
     grid_size_xy: tuple, pc_range, classes: Sequence[AnchorClassCfg],
     align_center: bool = False,
 ) -> np.ndarray:
-    """-> (num_classes, ny, nx, num_rot, 7) float32, flattened to (A, 7) by
-    callers in the same (cls, y, x, rot) order pcdet uses."""
+    """-> (ny, nx, num_classes, num_rot, 7) float32; callers flatten to
+    (A, 7) in location-major (y, x, cls, rot) order — the SAME order the
+    1x1-conv head's channel flattening produces (pcdet cats per-class
+    anchors along the per-location axis before .view(-1, 7), so predictions
+    and anchors line up anchor-for-anchor even with multiple classes)."""
     nx, ny = grid_size_xy
     all_anchors = []
     for cfg in classes:
@@ -71,7 +74,7 @@ def generate_anchors(
             axis=-1,
         )  # (nx, ny, R, 7)
         all_anchors.append(a.transpose(1, 0, 2, 3))  # -> (ny, nx, R, 7)
-    return np.stack(all_anchors).astype(np.float32)
+    return np.stack(all_anchors, axis=2).astype(np.float32)
 
 
 def assign_anchor_targets(

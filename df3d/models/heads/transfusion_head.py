@@ -54,6 +54,7 @@ class TransFusionHeadCfg:
     loss_heatmap_weight: float = 1.0
     gaussian_overlap: float = 0.1
     min_radius: int = 2
+    head_conv: int = 64  # FFN mid channels (reference FFN head_conv)
 
     @property
     def coder(self):
@@ -64,11 +65,16 @@ class TransFusionHeadCfg:
 
 
 class PositionEmbeddingLearned(nn.Module):
+    """Conv1d -> BN1d -> ReLU -> Conv1d (reference transfusion_head.py
+    PositionEmbeddingLearned), as Dense over the point axis."""
+
     d_model: int
 
     @nn.compact
-    def __call__(self, xy: jax.Array) -> jax.Array:
+    def __call__(self, xy: jax.Array, train: bool = False) -> jax.Array:
         h = nn.Dense(self.d_model)(xy)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn")(h)
         h = nn.relu(h)
         return nn.Dense(self.d_model)(h)
 
@@ -145,24 +151,33 @@ class TransFusionHead(nn.Module):
         query_feat = query_feat + nn.Dense(d, name="class_encoding")(one_hot)
 
         query_pos_xy = jnp.stack([xs, ys], axis=-1)  # (B, P, 2) bev pixels
-        q_pos = PositionEmbeddingLearned(d, name="query_pos_embed")(query_pos_xy)
+        q_pos = PositionEmbeddingLearned(d, name="query_pos_embed")(
+            query_pos_xy, train
+        )
         grid_y, grid_x = jnp.meshgrid(
             jnp.arange(hh, dtype=jnp.float32), jnp.arange(ww, dtype=jnp.float32),
             indexing="ij",
         )
         bev_xy = jnp.stack([grid_x, grid_y], -1).reshape(1, hh * ww, 2)
         kv_pos = PositionEmbeddingLearned(d, name="key_pos_embed")(
-            jnp.broadcast_to(bev_xy, (b, hh * ww, 2))
+            jnp.broadcast_to(bev_xy, (b, hh * ww, 2)), train
         )
 
         q = DecoderLayer(d, c.num_heads, c.ffn_channel, name="decoder0")(
             query_feat, q_pos, feat_flat, kv_pos
         )
 
-        def branch(name, ch):
-            h = nn.Dense(d, name=f"{name}_fc0")(q)
+        def branch(name, ch, bias_init=0.0):
+            # reference FFN: ConvModule(Conv1d no-bias + BN1d + ReLU) then
+            # biased Conv1d (head_conv=64 mid channels)
+            h = nn.Dense(c.head_conv, use_bias=False, name=f"{name}_fc0")(q)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name=f"{name}_bn0")(h)
             h = nn.relu(h)
-            return nn.Dense(ch, name=f"{name}_fc1")(h)
+            return nn.Dense(
+                ch, bias_init=nn.initializers.constant(bias_init),
+                name=f"{name}_fc1",
+            )(h)
 
         center = branch("center", 2) + query_pos_xy  # offset from query pixel
         preds = {
@@ -173,7 +188,7 @@ class TransFusionHead(nn.Module):
             "dim": branch("dim", 3),
             "rot": branch("rot", 2),
             "vel": branch("vel", 2),
-            "cls": branch("cls", c.num_classes),
+            "cls": branch("cls", c.num_classes, bias_init=-2.19),
             "dense_heatmap": dense_heatmap,
             "query_labels": query_labels,
             "query_score": jnp.take_along_axis(

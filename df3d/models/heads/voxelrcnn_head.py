@@ -67,6 +67,14 @@ class VoxelRCNNHeadCfg:
 
 
 class VoxelRCNNHead(nn.Module):
+    """pcdet-faithful compute graph (voxelrcnn_head.py + pointnet2_stack/
+    voxel_pool_modules.py NeighborVoxelSAModuleMSG): per scale,
+    mlp_in (Linear no-bias + BN) on voxel features; neighbors grouped around
+    ROI grid points; mlp_pos (Linear no-bias + BN) on relative xyz; ADD +
+    relu + max-pool; mlp_out (Linear no-bias + BN + relu). FC stacks are
+    Linear(no bias) + BN + relu; final pred layers carry bias. This exact
+    structure lets published .pth checkpoints import weight-for-weight."""
+
     cfg: VoxelRCNNHeadCfg
     voxel_size: tuple
     pc_range: tuple
@@ -75,17 +83,22 @@ class VoxelRCNNHead(nn.Module):
     def __call__(self, rois, roi_mask, ms_features, train: bool):
         """rois (B, R, 7); ms_features: dict of SparseTensor per scale key.
         Returns (cls (B, R, 1), reg (B, R, 7))."""
+        from df3d.models.layers import MaskedBatchNorm
+
         c = self.cfg
-        g3 = c.grid_size**3
+
+        def bn(name, x, mask):
+            return MaskedBatchNorm(name=name)(x, mask, train)
 
         pooled = []
         for s in c.scales:
             st = ms_features[s.feature_key]
             from df3d.core.calib import voxel_centers_from_coords
 
-            # pre-MLP on voxel features (PRE_MLP=True)
-            feats = nn.Dense(s.mlp[0], name=f"{s.feature_key}_pre")(st.features)
-            feats = nn.relu(feats)
+            # mlps_in: Linear(no bias) + BN on voxel features
+            feats = nn.Dense(s.mlp[0], use_bias=False,
+                             name=f"{s.feature_key}_mlp_in")(st.features)
+            feats = bn(f"{s.feature_key}_bn_in", feats, st.valid)
 
             def pool_one(rois_s, feats_s, coords_s, valid_s):
                 xyz = voxel_centers_from_coords(
@@ -100,38 +113,48 @@ class VoxelRCNNHead(nn.Module):
                 )  # (R, G, K)
                 n_feat = feats_s[nidx]  # (R, G, K, C)
                 rel = xyz[nidx] - grid[:, :, None, :]
-                return jnp.concatenate([rel, n_feat], -1), nmask
+                return n_feat, rel, nmask
 
-            grouped, nmask = jax.vmap(pool_one)(
+            n_feat, rel, nmask = jax.vmap(pool_one)(
                 rois, feats, st.coords, st.valid
-            )  # (B, R, G, K, 3+C)
-            h = nn.Dense(s.mlp[1], name=f"{s.feature_key}_mlp")(grouped)
-            h = nn.relu(h)
+            )  # (B, R, G, K, C), (B, R, G, K, 3)
+            # mlps_pos: Linear(no bias) + BN on relative xyz, ADDed
+            pos = nn.Dense(s.mlp[0], use_bias=False,
+                           name=f"{s.feature_key}_mlp_pos")(rel)
+            pos = bn(f"{s.feature_key}_bn_pos", pos, nmask)
+            h = nn.relu(n_feat + pos)
             h = jnp.where(nmask[..., None], h, -1e9)
             h = h.max(axis=3)  # max-pool over neighbors -> (B, R, G, C)
             h = jnp.where(h <= -1e8, 0.0, h)
+            # mlps_out: Linear(no bias) + BN + relu
+            h = nn.Dense(s.mlp[1], use_bias=False,
+                         name=f"{s.feature_key}_mlp_out")(h)
+            gmask = jnp.broadcast_to(
+                roi_mask[:, :, None], h.shape[:-1]).astype(bool)
+            h = nn.relu(bn(f"{s.feature_key}_bn_out", h, gmask))
             pooled.append(h)
 
         feat = jnp.concatenate(pooled, axis=-1)  # (B, R, G, sumC)
         b, r = feat.shape[:2]
-        feat = feat.reshape(b, r, -1)  # flatten grid
+        feat = feat.reshape(b, r, -1)  # flatten (grid, C) grid-major
 
+        rmask = roi_mask.astype(bool)
         h = feat
         for i, ch in enumerate(c.shared_fc):
-            h = nn.Dense(ch, name=f"shared_fc{i}")(h)
-            h = nn.relu(h)
+            h = nn.Dense(ch, use_bias=False, name=f"shared_fc{i}")(h)
+            h = nn.relu(bn(f"shared_bn{i}", h, rmask))
         shared = h
 
         hc = shared
         for i, ch in enumerate(c.cls_fc):
-            hc = nn.Dense(ch, name=f"cls_fc{i}")(hc)
-            hc = nn.relu(hc)
+            hc = nn.Dense(ch, use_bias=False, name=f"cls_fc{i}")(hc)
+            hc = nn.relu(bn(f"cls_bn{i}", hc, rmask))
         cls = nn.Dense(1, name="cls_pred")(hc)
 
         hr = shared
         for i, ch in enumerate(c.reg_fc):
-            hr = nn.Dense(ch, name=f"reg_fc{i}")(hr)
-            hr = nn.relu(hr)
+            hr = nn.Dense(ch, use_bias=False, name=f"reg_fc{i}")(hr)
+            hr = nn.relu(bn(f"reg_bn{i}", hr, rmask))
         reg = nn.Dense(7, name="reg_pred")(hr)
 
         cls = cls * roi_mask[..., None]

@@ -91,7 +91,11 @@ def centerpoint_name_map(flax_params: dict, sd: dict,
         w = np.asarray(sd[conv_key])
         if transpose:
             # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
-            w = w.transpose(2, 3, 0, 1)
+            # PLUS a 180-degree spatial flip: flax nn.ConvTranspose (with
+            # transpose_kernel=False) runs a fractionally-strided conv with
+            # the kernel as given, whereas torch implements the gradient-
+            # derived transpose — the two differ by mirrored taps.
+            w = w.transpose(2, 3, 0, 1)[::-1, ::-1]
             child = "ConvTranspose_0"
         else:
             w = conv2d(w)

@@ -78,8 +78,10 @@ def make_voxelrcnn_train_step(model, head, cfg) -> Callable:
     ROI sampling + RCNN head/loss (pcdet train_one_epoch semantics).
 
     `model` is the VoxelRCNN detector, `head` a bound-compatible
-    VoxelRCNNHead; state.params = {"rpn": ..., "rcnn": ...}. The train step
-    takes (state, batch, rng) — rng drives the ROI subsampler (the reference
+    VoxelRCNNHead; state.params = {"rpn": ..., "rcnn": ...} and
+    state.batch_stats = {"rpn": ..., "rcnn": ...} (the rcnn head carries
+    BatchNorm, matching pcdet's Linear+BN1d stacks). The train step takes
+    (state, batch, rng) — rng drives the ROI subsampler (the reference
     uses torch's global RNG there).
     """
     from df3d.models.detectors.voxel_rcnn import (
@@ -104,7 +106,8 @@ def make_voxelrcnn_train_step(model, head, cfg) -> Callable:
 
         def loss_fn(params):
             preds, updates = model.apply(
-                {"params": params["rpn"], "batch_stats": state.batch_stats},
+                {"params": params["rpn"],
+                 "batch_stats": state.batch_stats["rpn"]},
                 res.features, res.coords, train=True, mutable=["batch_stats"],
             )
             rois, roi_scores, roi_mask = proposal_layer(
@@ -117,21 +120,26 @@ def make_voxelrcnn_train_step(model, head, cfg) -> Callable:
                 )
             )(rois, roi_scores, roi_mask, batch["gt_boxes"][..., :7],
               batch["gt_valid"], keys)
-            cls, reg = head.apply(
-                {"params": params["rcnn"]},
+            (cls, reg), r_updates = head.apply(
+                {"params": params["rcnn"],
+                 "batch_stats": state.batch_stats["rcnn"]},
                 rcnn_targets["rois"], rcnn_targets["mask"], preds["ms"],
-                train=True,
+                train=True, mutable=["batch_stats"],
             )
             total, logs = voxel_rcnn_train_losses(
                 cfg, preds, {"cls": cls, "reg": reg}, rpn_targets, rcnn_targets
             )
-            return total, (logs, updates)
+            return total, (logs, updates, r_updates)
 
-        (_, (logs, updates)), grads = jax.value_and_grad(
+        (_, (logs, updates, r_updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(
-            grads=grads, batch_stats=updates["batch_stats"]
+            grads=grads,
+            batch_stats={
+                "rpn": updates["batch_stats"],
+                "rcnn": r_updates["batch_stats"],
+            },
         )
         return state, logs
 
@@ -159,6 +167,53 @@ def make_transfusion_train_step(model, cfg) -> Callable:
                 cfg, preds, batch["gt_boxes"], batch["gt_classes"],
                 batch["gt_valid"],
             )
+            return total, (logs, updates)
+
+        (_, (logs, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=updates["batch_stats"]
+        )
+        return state, logs
+
+    return train_step
+
+
+def make_fused_train_step(model, lidar_cfg) -> Callable:
+    """Train step for the fused 3D-DF detectors (CenterPoint3DDF /
+    TransFusion3DDF): batch additionally carries images (B, n_cam, H, W, 3)
+    and proj (B, n_cam, 3, 4). The loss follows the host family."""
+    from df3d.models.detectors.centerpoint import (
+        CenterPointConfig as _CPCfg, centerpoint_loss as _cp_loss,
+    )
+    from df3d.models.detectors.transfusion import (
+        TransFusionConfig as _TFCfg, transfusion_loss as _tf_loss,
+    )
+
+    if isinstance(lidar_cfg, _CPCfg):
+        loss_fn_family = lambda preds, b: _cp_loss(
+            lidar_cfg, preds, b["gt_boxes"], b["gt_classes"], b["gt_valid"])
+    elif isinstance(lidar_cfg, _TFCfg):
+        loss_fn_family = lambda preds, b: _tf_loss(
+            lidar_cfg, preds, b["gt_boxes"], b["gt_classes"], b["gt_valid"])
+    else:
+        raise ValueError(f"unsupported fused host config {type(lidar_cfg)}")
+
+    def train_step(state, batch):
+        res = voxelize_batch(
+            batch["points"], batch["points_valid"], lidar_cfg.voxel_size,
+            lidar_cfg.pc_range, lidar_cfg.grid_size, lidar_cfg.max_voxels,
+            lidar_cfg.max_points_per_voxel,
+        )
+
+        def loss_fn(params):
+            (preds, _), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                res.features, res.coords, batch["images"], batch["proj"],
+                train=True, mutable=["batch_stats"],
+            )
+            total, logs = loss_fn_family(preds, batch)
             return total, (logs, updates)
 
         (_, (logs, updates)), grads = jax.value_and_grad(

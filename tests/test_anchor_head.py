@@ -14,14 +14,45 @@ CAR = AH.AnchorClassCfg(
 
 def test_generate_anchors_layout():
     a = AH.generate_anchors((4, 6), (0.0, -8.0, -3.0, 16.0, 8.0, 1.0), [CAR])
-    assert a.shape == (1, 6, 4, 2, 7)
-    # x varies along axis 2, y along axis 1
-    assert np.allclose(a[0, 0, :, 0, 0], np.linspace(0, 16, 4))
-    assert np.allclose(a[0, :, 0, 0, 1], np.linspace(-8, 8, 6))
+    assert a.shape == (6, 4, 1, 2, 7)
+    # x varies along axis 1, y along axis 0; class axis 2 (location-major)
+    assert np.allclose(a[0, :, 0, 0, 0], np.linspace(0, 16, 4))
+    assert np.allclose(a[:, 0, 0, 0, 1], np.linspace(-8, 8, 6))
     # rotations
     assert np.allclose(a[0, 0, 0, :, 6], [0.0, 1.5707963])
     # z center = bottom + h/2
-    assert np.allclose(a[0, ..., 2], -1.78 + 1.56 / 2)
+    assert np.allclose(a[..., 2], -1.78 + 1.56 / 2)
+
+
+def test_multiclass_anchor_alignment():
+    """Flattened anchors must be location-major (y, x, cls, rot) so they line
+    up with the conv head's channel flattening; anchor_class_ids must match."""
+    from df3d.models.detectors.voxel_rcnn import (
+        VoxelRCNNConfig, anchor_class_ids, build_anchors,
+    )
+
+    ped = AH.AnchorClassCfg(
+        name="Pedestrian", size=(0.8, 0.6, 1.73), bottom_height=-0.6,
+        matched_threshold=0.5, unmatched_threshold=0.35,
+    )
+    cfg = VoxelRCNNConfig(
+        grid_size=(40, 32, 32), anchor_classes=(CAR, ped),
+    )
+    anchors = np.asarray(build_anchors(cfg))
+    ids = np.asarray(anchor_class_ids(cfg))
+    ny, nx = cfg.bev_size_xy[1], cfg.bev_size_xy[0]
+    assert anchors.shape == (ny * nx * 2 * 2, 7)
+    assert ids.shape == (anchors.shape[0],)
+    # within one location: [car_rot0, car_rot1, ped_rot0, ped_rot1]
+    assert ids[:4].tolist() == [0, 0, 1, 1]
+    first_loc = anchors[:4]
+    assert np.allclose(first_loc[0, 3:6], CAR.size)
+    assert np.allclose(first_loc[2, 3:6], ped.size)
+    assert np.allclose(first_loc[:, 0], first_loc[0, 0])  # same x
+    assert np.allclose(first_loc[:, 1], first_loc[0, 1])  # same y
+    # class sizes agree with ids everywhere
+    assert np.allclose(anchors[ids == 0][:, 3:6], CAR.size)
+    assert np.allclose(anchors[ids == 1][:, 3:6], ped.size)
 
 
 def test_assignment_positive_at_gt():

@@ -35,10 +35,11 @@ def test_gt_sampler_adds_objects(tmp_path):
     }
     sampler = A.GTSampler(db, {"Car": 3}, root=tmp_path)
     pts = rng.uniform(-10, 10, (100, 4)).astype(np.float32)
-    out_p, out_b, out_n = sampler(pts.copy(), None, None, rng)
+    out_p, out_b, out_n, infos = sampler(pts.copy(), None, None, rng)
     assert out_b is not None and len(out_b) == 3
     assert len(out_p) > 100  # pasted points added
     assert set(out_n) == {"Car"}
+    assert len(infos) == 3 and all("box3d_lidar" in i for i in infos)
     # sampled boxes don't collide pairwise (BEV)
     assert not A.bev_overlap_exists(out_b[:1, :7], out_b[1:, :7])[0]
 
@@ -60,6 +61,77 @@ def test_project_box_to_image_bbox():
     bbox, depth = A.project_box_to_image_bbox(box, proj, (100, 100))
     assert abs(depth - 10.0) < 1e-4
     assert bbox[0] < 50 < bbox[2] and bbox[1] < 50 < bbox[3]
+
+
+def test_image_paste_uses_stored_db_crops(tmp_path):
+    """With stored db crops, the pasted object's projected image region
+    actually changes pixels (VERDICT r1 item 5: no more 'reuse the covered
+    region' no-op)."""
+    from df3d.data.transforms import make_train_transform
+
+    rng = np.random.RandomState(5)
+    obj = rng.randn(20, 4).astype(np.float32) * 0.3
+    np.save(tmp_path / "o.npy", obj)
+    crop = np.full((8, 12, 3), 255, np.uint8)
+    np.save(tmp_path / "o_crop.npy", crop)
+    db = {"Car": [
+        {"path": "o.npy", "num_points": 20, "image_crop_path": "o_crop.npy",
+         "box3d_lidar": np.array([15.0, 0, 0, 4, 2, 1.5, 0], np.float32)}
+    ]}
+    sampler = A.GTSampler(db, {"Car": 1}, root=tmp_path)
+    tf = make_train_transform(
+        gt_sampler=sampler, image_paste=True,
+        flip_axes=(), rot_range=None, scale_range=None,
+    )
+    proj = np.array([[60, -60, 0, 48], [0, -20, -60, 32], [1, 0, 0, 0]],
+                    np.float32)
+    sample = {
+        "points": rng.uniform(-10, 10, (200, 4)).astype(np.float32),
+        "gt_boxes": np.zeros((0, 7), np.float32),
+        "gt_names": np.array([], dtype="<U8"),
+        "image": np.zeros((64, 96, 3), np.uint8),
+        "proj": proj,
+    }
+    out = tf(dict(sample), rng)
+    assert len(out["gt_boxes"]) == 1
+    # pixels changed exactly where the sampled box projects
+    bb, depth = A.project_box_to_image_bbox(
+        out["gt_boxes"][0, :7], proj, (64, 96))
+    assert depth > 0
+    region = out["image"][int(bb[1]):int(bb[3]), int(bb[0]):int(bb[2])]
+    assert region.size > 0 and region.max() == 255
+    # nothing outside changed
+    mask = np.ones((64, 96), bool)
+    mask[int(bb[1]):int(bb[3]) + 1, int(bb[0]):int(bb[2]) + 1] = False
+    assert out["image"][mask].max() == 0
+
+
+def test_image_paste_skips_objects_without_crops(tmp_path):
+    from df3d.data.transforms import make_train_transform
+
+    rng = np.random.RandomState(6)
+    obj = rng.randn(20, 4).astype(np.float32) * 0.3
+    np.save(tmp_path / "o.npy", obj)
+    db = {"Car": [
+        {"path": "o.npy", "num_points": 20,
+         "box3d_lidar": np.array([15.0, 0, 0, 4, 2, 1.5, 0], np.float32)}
+    ]}
+    sampler = A.GTSampler(db, {"Car": 1}, root=tmp_path)
+    tf = make_train_transform(
+        gt_sampler=sampler, image_paste=True,
+        flip_axes=(), rot_range=None, scale_range=None,
+    )
+    sample = {
+        "points": rng.uniform(-10, 10, (200, 4)).astype(np.float32),
+        "gt_boxes": np.zeros((0, 7), np.float32),
+        "gt_names": np.array([], dtype="<U8"),
+        "image": np.zeros((64, 96, 3), np.uint8),
+        "proj": np.array([[60, -60, 0, 48], [0, -20, -60, 32], [1, 0, 0, 0]],
+                         np.float32),
+    }
+    out = tf(dict(sample), rng)
+    assert len(out["gt_boxes"]) == 1  # points pasted
+    assert out["image"].max() == 0   # image untouched (no fake crops)
 
 
 def test_make_train_transform_end_to_end(tmp_path):

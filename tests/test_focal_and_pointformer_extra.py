@@ -67,3 +67,54 @@ def test_global_and_linformer_shapes():
     out = lg.apply(vs, xyz, feats, valid)
     assert out.shape == (2, 64, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_basic_down_block_shapes():
+    from df3d.models.fusion.pointformer_extra import BasicDownBlock
+
+    rng = np.random.RandomState(2)
+    xyz = jnp.asarray(rng.uniform(-5, 5, (2, 64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+    valid = jnp.ones((2, 64), bool).at[:, 48:].set(False)
+
+    blk = BasicDownBlock(npoint=16, radius=3.0, nsample=4, d_model=32,
+                         d_out=48, num_layers=1)
+    vs = blk.init(jax.random.PRNGKey(0), xyz, feats, valid)
+    new_xyz, out, fps_idx = blk.apply(vs, xyz, feats, valid)
+    assert new_xyz.shape == (2, 16, 3)
+    assert out.shape == (2, 16, 48)
+    assert fps_idx.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_iactrv2_shapes_and_scatter():
+    from df3d.models.fusion.actr import ACTRConfig
+    from df3d.models.fusion.iactr import IACTRv2
+
+    rng = np.random.RandomState(3)
+    cfg = ACTRConfig(
+        d_model=16, n_heads=2, n_points=2, n_levels=2, num_layers=1,
+        dim_feedforward=32, pos_encode_method="image_coor",
+    )
+    i_feats = [jnp.asarray(rng.randn(1, 8, 12, 24).astype(np.float32)),
+               jnp.asarray(rng.randn(1, 4, 6, 24).astype(np.float32))]
+    # splat maps: a handful of hit pixels per level
+    p0 = np.zeros((1, 8, 12, 24), np.float32)
+    p0[0, 2, 3] = 1.0
+    p0[0, 5, 7] = 2.0
+    p1 = np.zeros((1, 4, 6, 24), np.float32)
+    p1[0, 1, 2] = 1.5
+    p_feats = [jnp.asarray(p0), jnp.asarray(p1)]
+
+    mod = IACTRv2(cfg, max_ne=8)
+    vs = mod.init(jax.random.PRNGKey(0), i_feats, p_feats)
+    outs = mod.apply(vs, i_feats, p_feats)
+    assert outs[0].shape == (1, 8, 12, 16)
+    assert outs[1].shape == (1, 4, 6, 16)
+    o0 = np.asarray(outs[0])
+    # enhanced only at splat-hit pixels; zeros elsewhere
+    assert np.abs(o0[0, 2, 3]).max() > 0
+    assert np.abs(o0[0, 5, 7]).max() > 0
+    hit = np.zeros((8, 12), bool)
+    hit[2, 3] = hit[5, 7] = True
+    assert np.abs(o0[0][~hit]).max() == 0.0

@@ -121,3 +121,37 @@ def test_import_centerpoint_full_map():
     got = new_vars["params"]["backbone"]["conv_input"]["SubMConv3d_0"]["kernel"]
     np.testing.assert_allclose(np.asarray(got)[0], w[0, 0, 0], atol=0)
     np.testing.assert_allclose(np.asarray(got)[26], w[2, 2, 2], atol=0)
+
+
+def test_import_convtranspose_numeric_parity():
+    """Imported ConvTranspose2d weights must reproduce torch's output exactly
+    (flax ConvTranspose is NOT the gradient-derived transpose: the import map
+    flips the spatial taps). Hand-computed reference, no torch needed:
+    torch ConvTranspose2d stride=k=2: out[2i+di, 2j+dj] = sum_c in[c,i,j] *
+    w[c, :, di, dj]."""
+    from flax import linen as nn
+
+    rng = np.random.RandomState(1)
+    cin, cout = 3, 4
+    w_t = rng.randn(cin, cout, 2, 2).astype(np.float32)  # torch (in,out,kh,kw)
+    x = rng.randn(1, 5, 5, cin).astype(np.float32)  # NHWC
+
+    # torch semantics by hand
+    ref = np.zeros((1, 10, 10, cout), np.float32)
+    for i in range(5):
+        for j in range(5):
+            for di in range(2):
+                for dj in range(2):
+                    ref[0, 2 * i + di, 2 * j + dj] += (
+                        x[0, i, j] @ w_t[:, :, di, dj]
+                    )
+
+    mod = nn.ConvTranspose(cout, (2, 2), strides=(2, 2), use_bias=False)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # the importer's mapping: (in,out,kh,kw)->(kh,kw,in,out) + spatial flip
+    w_flax = w_t.transpose(2, 3, 0, 1)[::-1, ::-1]
+    out = mod.apply(
+        {"params": {"kernel": jnp.asarray(np.ascontiguousarray(w_flax))}},
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)

@@ -53,6 +53,16 @@ def test_circle_nms():
     assert kept == {0, 2}
 
 
+def test_circle_nms_threshold_is_squared_distance():
+    # reference circle_nms_jit compares squared distance to min_radius
+    # directly: d2=2.25 > thresh=2.0 must survive (r**2=4 would suppress it)
+    centers = jnp.array([[0.0, 0.0], [1.5, 0.0]])
+    scores = jnp.array([0.9, 0.8])
+    idx, mask = NMS.nms_circle(centers, scores, min_radius=2.0, post_max_size=2)
+    kept = set(np.asarray(idx)[np.asarray(mask)].tolist())
+    assert kept == {0, 1}
+
+
 def test_nms_jits():
     import jax
 

@@ -108,7 +108,8 @@ def test_voxelrcnn_train_step():
     params = {"rpn": v_rpn["params"], "rcnn": v_rcnn["params"]}
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=adam_onecycle(1e-3, 10),
-        batch_stats=v_rpn["batch_stats"],
+        batch_stats={"rpn": v_rpn["batch_stats"],
+                     "rcnn": v_rcnn["batch_stats"]},
     )
     step = make_voxelrcnn_train_step(model, head, cfg)
     state, logs = step(state, batch, jax.random.PRNGKey(2))

@@ -3,11 +3,14 @@
 
 Counterpart of the three reference entry points (VoxelRCNN/tools/train.py,
 CenterPoint/tools/train.py, TransFusion/tools/train.py) behind one unified
-interface:
+interface. Drives ALL preset families: CenterPoint / TransFusion-L /
+Voxel R-CNN LiDAR-only AND the fused 3D-DF variants (dict presets with an
+'actr' entry build CenterPoint3DDF / TransFusion3DDF / VoxelRCNN3DDF).
 
   python tools/train.py --preset centerpoint_nusc --data-root /data/nuscenes \
-      --info-path infos_train.pkl --work-dir work_dirs/cp --epochs 20 \
-      --batch-size 4 --set head.nms_thresh=0.2
+      --info-path infos_train.pkl --work-dir work_dirs/cp --epochs 20
+  python tools/train.py --preset transfusion_3ddf_nusc --synthetic \
+      --steps-per-epoch 2 --epochs 1            # fused smoke run
 
 Multi-host: launch one process per host with jax.distributed env vars; the
 batch shards over all devices automatically.
@@ -36,12 +39,16 @@ def parse_args():
     p.add_argument("--max-gt", type=int, default=500)
     p.add_argument("--synthetic", action="store_true",
                    help="train on random data (smoke runs without datasets)")
+    p.add_argument("--synthetic-points", type=int, default=20_000)
+    p.add_argument("--image-shape", type=int, nargs=2, default=None,
+                   help="fused presets: camera image (H, W)")
     p.add_argument("--steps-per-epoch", type=int, default=100)
     p.add_argument("--set", nargs="*", default=[], dest="overrides")
     return p.parse_args()
 
 
-def make_synthetic_dataset(num_features, n=64, num_classes=10):
+def make_synthetic_dataset(num_features, n=64, num_classes=10,
+                           num_points=20_000, num_cams=0, image_shape=None):
     import numpy as np
 
     class Synth:
@@ -53,8 +60,9 @@ def make_synthetic_dataset(num_features, n=64, num_classes=10):
         def __getitem__(self, i):
             rng = np.random.RandomState(i)
             pts = np.concatenate(
-                [rng.uniform(-50, 50, (20000, 2)), rng.uniform(-4, 2, (20000, 1)),
-                 rng.uniform(0, 1, (20000, num_features - 3))], axis=-1,
+                [rng.uniform(-50, 50, (num_points, 2)),
+                 rng.uniform(-4, 2, (num_points, 1)),
+                 rng.uniform(0, 1, (num_points, num_features - 3))], axis=-1,
             ).astype(np.float32)
             m = rng.randint(1, 20)
             boxes = np.concatenate(
@@ -62,67 +70,190 @@ def make_synthetic_dataset(num_features, n=64, num_classes=10):
                  rng.uniform(1, 5, (m, 3)), rng.uniform(-3, 3, (m, 1)),
                  rng.uniform(-2, 2, (m, 2))], axis=-1,
             ).astype(np.float32)
-            return {
+            out = {
                 "points": pts, "gt_boxes": boxes,
                 "gt_classes": rng.randint(0, num_classes, m).astype(np.int32),
             }
+            if num_cams:
+                h, w = image_shape
+                out["images"] = rng.rand(num_cams, h, w, 3).astype(np.float32)
+                # plausible pinhole-ish projections
+                out["proj"] = np.tile(
+                    np.array([[w, -w, 0, w * 2.0], [0, -h / 3, -w, h * 2.0],
+                              [1, 0, 0, 0]], np.float32),
+                    (num_cams, 1, 1),
+                )
+            return out
 
     return Synth()
+
+
+def build_model_and_step(args, preset):
+    """-> (state, train_step, lidar_cfg, extra_batch_keys)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from df3d.models.detectors.centerpoint import CenterPoint, CenterPointConfig
+    from df3d.models.detectors.fused import (
+        CenterPoint3DDF, FusedConfig, TransFusion3DDF, VoxelRCNN3DDF,
+    )
+    from df3d.models.detectors.transfusion import TransFusionConfig, TransFusionL
+    from df3d.models.detectors.voxel_rcnn import VoxelRCNN, VoxelRCNNConfig
+    from df3d.models.heads.voxelrcnn_head import VoxelRCNNHead
+    from df3d.ops.voxelize import voxelize_batch
+    from df3d.train.schedules import adam_onecycle
+    from df3d.train.trainer import (
+        TrainState, make_centerpoint_train_step, make_fused_train_step,
+        make_transfusion_train_step, make_voxelrcnn_train_step,
+    )
+
+    total_steps = max(args.epochs * args.steps_per_epoch, 1)
+    tx = adam_onecycle(args.lr, total_steps)
+    rng = jax.random.PRNGKey(0)
+
+    fused = isinstance(preset, dict)
+    lidar_cfg = preset["lidar"] if fused else preset
+
+    example_pts = jnp.zeros(
+        (1, min(args.max_points, 4096), lidar_cfg.num_point_features)
+    )
+    res = voxelize_batch(
+        example_pts, jnp.ones(example_pts.shape[:2], bool),
+        lidar_cfg.voxel_size, lidar_cfg.pc_range, lidar_cfg.grid_size,
+        lidar_cfg.max_voxels, lidar_cfg.max_points_per_voxel,
+    )
+
+    if fused:
+        num_cams = preset.get("num_cams", 1)
+        image_shape = tuple(args.image_shape or (448, 800))
+        fcfg = FusedConfig(
+            image_shape=image_shape, actr=preset["actr"],
+            n_levels=preset["actr"].n_levels, num_cams=num_cams,
+            image_branch="resnet_fpn"
+            if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3",
+        )
+        if isinstance(lidar_cfg, CenterPointConfig):
+            model = CenterPoint3DDF(lidar_cfg, fcfg)
+        elif isinstance(lidar_cfg, TransFusionConfig):
+            model = TransFusion3DDF(lidar_cfg, fcfg)
+        else:
+            raise SystemExit(
+                "fused VoxelRCNN training needs the two-stage step; use the "
+                "library API (VoxelRCNN3DDF + make_voxelrcnn_train_step)"
+            )
+        images = jnp.zeros((1, num_cams, *image_shape, 3))
+        proj = jnp.zeros((1, num_cams, 3, 4))
+        variables = model.init(
+            rng, res.features, res.coords, images, proj, train=False
+        )
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx,
+            batch_stats=variables["batch_stats"],
+        )
+        return state, make_fused_train_step(model, lidar_cfg), lidar_cfg, (
+            num_cams, image_shape)
+
+    if isinstance(lidar_cfg, CenterPointConfig):
+        model = CenterPoint(lidar_cfg)
+        variables = model.init(rng, res.features, res.coords, train=False)
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx,
+            batch_stats=variables["batch_stats"],
+        )
+        return state, make_centerpoint_train_step(model, lidar_cfg), lidar_cfg, None
+    if isinstance(lidar_cfg, TransFusionConfig):
+        model = TransFusionL(lidar_cfg)
+        variables = model.init(rng, res.features, res.coords, train=False)
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx,
+            batch_stats=variables["batch_stats"],
+        )
+        return state, make_transfusion_train_step(model, lidar_cfg), lidar_cfg, None
+    if isinstance(lidar_cfg, VoxelRCNNConfig):
+        model = VoxelRCNN(lidar_cfg)
+        v_rpn = model.init(rng, res.features, res.coords, train=False)
+        head = VoxelRCNNHead(
+            lidar_cfg.rcnn, lidar_cfg.voxel_size, lidar_cfg.pc_range
+        )
+        preds = model.apply(v_rpn, res.features, res.coords, train=False)
+        rois = jnp.zeros(
+            (1, lidar_cfg.rcnn.roi_per_image, 7)).at[..., 3:6].set(1.0)
+        v_rcnn = head.init(
+            jax.random.PRNGKey(1), rois,
+            jnp.ones((1, lidar_cfg.rcnn.roi_per_image), bool), preds["ms"],
+            train=False,
+        )
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params={"rpn": v_rpn["params"], "rcnn": v_rcnn["params"]},
+            tx=tx,
+            batch_stats={"rpn": v_rpn["batch_stats"],
+                         "rcnn": v_rcnn["batch_stats"]},
+        )
+        base_step = make_voxelrcnn_train_step(model, head, lidar_cfg)
+        # uniform (state, batch) signature: fold the rng from the step count
+        def step(state, batch):
+            return base_step(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(7),
+                                                 state.step)
+            )
+        return state, step, lidar_cfg, None
+    raise SystemExit(f"unsupported preset type {type(preset)}")
 
 
 def main():
     args = parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from df3d.config import get_preset
     from df3d.data.pipeline import PrefetchLoader, make_batch
-    from df3d.models.detectors.centerpoint import CenterPointConfig
     from df3d.parallel.mesh import batch_sharding, make_mesh, replicated
     from df3d.train.loop import Runner
-    from df3d.train.schedules import adam_onecycle
-    from df3d.train.trainer import (
-        create_centerpoint_state, make_centerpoint_train_step,
+
+    preset = get_preset(args.preset)
+    state, train_step, lidar_cfg, fused_extra = build_model_and_step(
+        args, preset
     )
 
-    cfg = get_preset(args.preset)
-    if not isinstance(cfg, CenterPointConfig):
-        raise SystemExit(
-            f"train CLI currently drives CenterPoint presets; got {args.preset}"
-        )
-
     if args.synthetic:
-        dataset = make_synthetic_dataset(cfg.num_point_features)
+        dataset = make_synthetic_dataset(
+            lidar_cfg.num_point_features, n=args.steps_per_epoch * args.batch_size,
+            num_points=args.synthetic_points,
+            num_cams=fused_extra[0] if fused_extra else 0,
+            image_shape=fused_extra[1] if fused_extra else None,
+        )
+        max_points = args.synthetic_points
     else:
         from df3d.data.nuscenes import NuScenesDataset
 
         dataset = NuScenesDataset(args.data_root, args.info_path)
+        max_points = args.max_points
 
-    loader = PrefetchLoader(
-        dataset, args.batch_size,
-        collate=lambda s: make_batch(
-            s, args.max_points, args.max_gt, cfg.num_point_features
-        ),
-    )
+    # gt padding must not exceed the model's target-assignment capacity
+    max_gt = min(args.max_gt, getattr(lidar_cfg, "max_objs", args.max_gt))
 
-    total_steps = args.epochs * (len(dataset) // args.batch_size or 1)
-    tx = adam_onecycle(args.lr, total_steps)
+    def collate(samples):
+        batch = make_batch(
+            samples, max_points, max_gt, lidar_cfg.num_point_features
+        )
+        if fused_extra:
+            import numpy as np
 
-    import jax.numpy as jnp
-    import numpy as np
+            batch["images"] = np.stack([s["images"] for s in samples])
+            batch["proj"] = np.stack([s["proj"] for s in samples])
+        return batch
 
-    example = jnp.zeros((1, args.max_points, cfg.num_point_features))
-    model, state = create_centerpoint_state(
-        cfg, jax.random.PRNGKey(0), tx, example
-    )
+    loader = PrefetchLoader(dataset, args.batch_size, collate=collate)
 
     mesh = make_mesh()
     data_sh = batch_sharding(mesh)
     repl = replicated(mesh)
     state = jax.device_put(state, repl)
     step = jax.jit(
-        make_centerpoint_train_step(model, cfg),
-        in_shardings=(repl, data_sh), out_shardings=(repl, repl),
+        train_step, in_shardings=(repl, data_sh), out_shardings=(repl, repl),
     )
 
     def sharded_iter():

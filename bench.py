@@ -69,10 +69,17 @@ def main():
     # compile + warmup
     force(infer(variables, points, valid))
 
-    iters = 5
+    # throughput timing: dispatch asynchronously and force ONCE at the end
+    # (each scalar fetch through the relay costs ~30ms of pure round trip,
+    # which a co-located serving host never pays; dispatches queue on the
+    # device and the final fetch transitively forces them all)
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        force(infer(variables, points, valid))
+    outs = [infer(variables, points, valid) for _ in range(iters)]
+    s = 0.0
+    for o in outs:
+        s += o["scores"].sum()
+    float(s)
     dt = time.perf_counter() - t0
     fps = iters / dt
 

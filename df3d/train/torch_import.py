@@ -20,6 +20,27 @@ from typing import Mapping
 import numpy as np
 
 
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a reference .pth checkpoint into a {name: np.ndarray} state
+    dict (handles the three wrappers: pcdet {'model_state': ...}, det3d
+    {'state_dict': ...}, mmdet3d {'state_dict': ...}; strips any
+    'module.' DDP prefix)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model_state", "state_dict", "model"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    out = {}
+    for k, v in ckpt.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
 def conv2d(w: np.ndarray) -> np.ndarray:
     return w.transpose(2, 3, 1, 0)
 

@@ -74,7 +74,9 @@ class CenterPoint(nn.Module):
                  fusion_kwargs=None):
         """voxel_features (B, V, F); voxel_coords (B, V, 3) (z, y, x) with
         -1 padding rows."""
-        st = SparseTensor(voxel_features, voxel_coords, self.cfg.sparse_shape)
+        # coords come from ops/voxelize.py -> key-sorted rows, padding last
+        st = SparseTensor(voxel_features, voxel_coords, self.cfg.sparse_shape,
+                          rows_sorted=True)
         caps = tuple(min(c, voxel_features.shape[1]) for c in self.cfg.stage_caps)
         bev, ms = SpMiddleResNetFHD(
             self.cfg.num_point_features, caps, fusion_hook=self.fusion_hook,

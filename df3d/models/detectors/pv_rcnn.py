@@ -45,7 +45,9 @@ class PVRCNN(nn.Module):
         cfg = self.cfg.base
         from df3d.models.backbones_3d import VoxelBackBone8x
 
-        st = SparseTensor(voxel_features, voxel_coords, cfg.sparse_shape)
+        # coords come from ops/voxelize.py -> key-sorted rows, padding last
+        st = SparseTensor(voxel_features, voxel_coords, cfg.sparse_shape,
+                          rows_sorted=True)
         caps = tuple(min(c, voxel_features.shape[1]) for c in cfg.stage_caps)
         bev, ms = VoxelBackBone8x(cfg.num_point_features, caps, name="backbone")(
             st, train

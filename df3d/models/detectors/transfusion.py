@@ -51,7 +51,9 @@ class TransFusionL(nn.Module):
     def __call__(self, voxel_features, voxel_coords, train: bool,
                  fusion_kwargs=None):
         cfg = self.cfg
-        st = SparseTensor(voxel_features, voxel_coords, cfg.sparse_shape)
+        # coords come from ops/voxelize.py -> key-sorted rows, padding last
+        st = SparseTensor(voxel_features, voxel_coords, cfg.sparse_shape,
+                          rows_sorted=True)
         caps = tuple(min(c, voxel_features.shape[1]) for c in cfg.stage_caps)
         bev, ms = SparseEncoder(
             cfg.num_point_features, caps, fusion_hook=self.fusion_hook,

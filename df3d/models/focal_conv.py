@@ -32,7 +32,7 @@ class FocalSparseConv(nn.Module):
     @nn.compact
     def __call__(self, st: SparseTensor, plan: ConvPlan, train: bool):
         """Returns (SparseTensor with pruned coords, importance (B, N))."""
-        k = plan.gather_idx.shape[-1]
+        k = plan.num_taps
         w = self.param(
             "kernel", _kaiming_taps, (k, st.features.shape[-1], self.out_channels)
         )

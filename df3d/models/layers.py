@@ -70,7 +70,7 @@ class SubMConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, st: SparseTensor, plan: ConvPlan) -> SparseTensor:
-        k = plan.gather_idx.shape[-1]
+        k = plan.num_taps
         w = self.param(
             "kernel", _kaiming_taps, (k, st.features.shape[-1], self.out_channels)
         )
@@ -84,12 +84,15 @@ class SparseConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, st: SparseTensor, plan: ConvPlan) -> SparseTensor:
-        k = plan.gather_idx.shape[-1]
+        k = plan.num_taps
         w = self.param(
             "kernel", _kaiming_taps, (k, st.features.shape[-1], self.out_channels)
         )
         feats = apply_sparse_conv(st.features, plan, w)
-        return SparseTensor(feats, plan.out_coords, plan.out_spatial_shape)
+        return SparseTensor(
+            feats, plan.out_coords, plan.out_spatial_shape,
+            rows_sorted=plan.out_rows_sorted,
+        )
 
 
 class SparseConvBNReLU(nn.Module):

@@ -32,7 +32,7 @@ def _kernel(feat_ref, idx_ref, w_ref, out_ref, *, taps, tile):
     for k in range(taps):
         # Mosaic supports per-lane gathers (take_along_axis with indices
         # shaped like the output), not row-index jnp.take
-        idx2d = jnp.broadcast_to(idx_ref[0, :, k][:, None], (tile, cin))
+        idx2d = jnp.broadcast_to(idx_ref[0, k, :][:, None], (tile, cin))
         rows = jnp.take_along_axis(feats, idx2d, axis=0)  # (TILE, Cin)
         acc += jnp.dot(rows, w_ref[k], preferred_element_type=jnp.float32)
     out_ref[0] = acc
@@ -41,13 +41,13 @@ def _kernel(feat_ref, idx_ref, w_ref, out_ref, *, taps, tile):
 def sparse_conv_pallas_single(features, gather_idx, weights, tile=512,
                               interpret=False):
     """Single-sample fused conv. features (N+1, Cin) (LAST row must be the
-    zero pad row); gather_idx (N_out, K); weights (K, Cin, Cout)."""
+    zero pad row); gather_idx (K, N_out) tap-major; weights (K, Cin, Cout)."""
     n1, cin = features.shape
-    n_out, k = gather_idx.shape
+    k, n_out = gather_idx.shape
     cout = weights.shape[-1]
     pad = (-n_out) % tile
     if pad:
-        gather_idx = jnp.pad(gather_idx, ((0, pad), (0, 0)),
+        gather_idx = jnp.pad(gather_idx, ((0, 0), (0, pad)),
                              constant_values=n1 - 1)
     grid = ((n_out + pad) // tile,)
     out = pl.pallas_call(
@@ -57,7 +57,7 @@ def sparse_conv_pallas_single(features, gather_idx, weights, tile=512,
         in_specs=[
             pl.BlockSpec((1, n1, cin), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda t: (0, t, 0),
+            pl.BlockSpec((1, k, tile), lambda t: (0, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, cin, cout), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -73,7 +73,7 @@ def sparse_conv_pallas_single(features, gather_idx, weights, tile=512,
 def apply_sparse_conv_pallas(features, plan_gather_idx, weights, tile=512,
                              interpret=False):
     """Batched fused conv: features (B, N, Cin); plan_gather_idx
-    (B, N_out, K) with N = 'miss'; weights (K, Cin, Cout) ->
+    (B, K, N_out) tap-major with N = 'miss'; weights (K, Cin, Cout) ->
     (B, N_out, Cout)."""
     b, n, cin = features.shape
     padded = jnp.concatenate(
@@ -96,7 +96,7 @@ def _bwd(tile, interpret, res, g):
 
     def ref_fn(f, w):
         plan = sparse_xla.ConvPlan(
-            gather_idx, jnp.zeros_like(gather_idx[..., :3]), (1, 1, 1),
+            gather_idx, jnp.zeros_like(gather_idx[:, :, :3]), (1, 1, 1),
             (1, 1, 1),
         )
         return sparse_xla.apply_sparse_conv(f, plan, w)

@@ -32,6 +32,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from df3d.ops import keytable
+
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -42,11 +44,17 @@ def _triple(v) -> tuple[int, int, int]:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SparseTensor:
-    """Batched sparse voxel tensor with static per-sample row count."""
+    """Batched sparse voxel tensor with static per-sample row count.
+
+    `rows_sorted` declares that valid rows are sorted ascending by spatial
+    key within each sample (padding last) — true for everything produced by
+    ops/voxelize.py and by strided conv plans. It unlocks the fast paths in
+    the plan builders (rank == row id) and the x-window conv gathers."""
 
     features: jax.Array  # (B, N, C)
     coords: jax.Array    # (B, N, 3) int32 (z, y, x); -1 rows are padding
     spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    rows_sorted: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def valid(self) -> jax.Array:  # (B, N)
@@ -93,15 +101,15 @@ def _kernel_offsets(ksize: Sequence[int]) -> jnp.ndarray:
     return jnp.stack([oz, oy, ox], axis=-1).reshape(-1, 3).astype(jnp.int32)
 
 
-# Budget for the dense key->row table strategy (bytes, per batch sample x
-# batch size). Below this, neighbor lookup is a direct gather into a dense
-# voxel table (the reference's generate_voxel2pinds trick,
-# pcdet voxel_query_utils.py) — much faster on TPU than searchsorted.
-_DENSE_TABLE_BUDGET = 2 << 30
+# Budget (bytes) for the per-sample word-rank key table (ops/keytable.py:
+# [bit word, rank prefix] per 32 grid cells — ~21 MB at nuScenes
+# 0.075-voxel scale). Above budget, fall back to searchsorted over the
+# per-sample sorted keys.
+_TABLE_BUDGET = 2 << 30
 
 
-def _use_dense_table(batch: int, cells: int) -> bool:
-    return batch * (cells + 1) * 4 <= _DENSE_TABLE_BUDGET
+def _use_bitrank(batch: int, cells: int) -> bool:
+    return batch * keytable.num_words(cells) * 8 <= _TABLE_BUDGET
 
 
 def _lookup(sorted_keys, query, row_of_sorted, n):
@@ -112,125 +120,111 @@ def _lookup(sorted_keys, query, row_of_sorted, n):
     return jnp.where(found, row_of_sorted[pos], n)
 
 
-def _stencil_lookup(coords, keys, valid, base, base_ok, n, spatial, ksize):
-    """Windowed rulebook lookup (UNUSED on v5e: measured 5x slower than the
-    flat _dense_lookup — XLA lowers the vmapped window slice to per-row
-    DMAs; kept for future backends/kernel work).
-
-    coords/keys/valid: input sites (N, 3)/(N,)/(N,); base (M, 3): window
-    origin per output (z0, y0, x0) in INPUT grid coords (may be negative up
-    to -(k-1)); base_ok (M,). Returns (M, K) row ids with n = miss.
-    """
-    z, y, x = spatial
-    kz, ky, kx = ksize
-    pz, py, px = kz - 1, ky - 1, kx - 1
-    zp, yp, xp = z + 2 * pz, y + 2 * py, x + 2 * px
-
-    flat = jnp.full((zp * yp * xp + 1,), n, jnp.int32)
-    pkey = ((coords[:, 0] + pz) * yp + (coords[:, 1] + py)) * xp + (
-        coords[:, 2] + px
+def _rank_to_row(rank, keys, n, rows_sorted):
+    """Map bitrank ranks (position among present keys, miss == n) to row
+    ids. With the sorted-rows invariant rank IS the row id; otherwise one
+    small gather through the argsort permutation."""
+    if rows_sorted:
+        return rank
+    order = jnp.argsort(keys)  # padding keys are INT_MAX -> sorted last
+    order_pad = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.array([n], jnp.int32)]
     )
-    pkey = jnp.where(valid, pkey, zp * yp * xp)  # pad rows -> dropped slot
-    flat = flat.at[pkey].set(jnp.arange(coords.shape[0], dtype=jnp.int32),
-                             mode="drop")
-    table = flat[:-1].reshape(zp, yp, xp)
-
-    start = jnp.clip(
-        base + jnp.asarray([pz, py, px], jnp.int32),
-        0, jnp.asarray([zp - kz, yp - ky, xp - kx], jnp.int32),
-    )
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(table, (s[0], s[1], s[2]), ksize)
-    )(start)  # (M, kz, ky, kx)
-    rows = windows.reshape(base.shape[0], -1)
-    return jnp.where(base_ok[:, None], rows, n)
-
-
-def _dense_lookup(keys, valid, qkey, q_ok, n, cells):
-    """Dense-table lookup: scatter row ids at keys, gather at query keys.
-    keys (N,), qkey (Q,) in [0, cells); invalid queries -> n (pad row).
-    Invalid KEY rows scatter out of bounds (dropped) — they must not land on
-    the miss slot `cells`, which defaults to n."""
-    table = jnp.full((cells + 1,), n, jnp.int32)
-    safe = jnp.where(valid, keys, cells + 1)  # OOB -> dropped
-    table = table.at[safe].set(
-        jnp.arange(keys.shape[0], dtype=jnp.int32), mode="drop"
-    )
-    return table[jnp.where(q_ok, qkey, cells)]
+    return order_pad[jnp.minimum(rank, n)]
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ConvPlan:
-    """Gather plan: for each sample, output row and kernel tap, the input row
-    index (or N_in for 'no contribution'). Reusable across layers with
-    identical coords — the analog of spconv's indice_key."""
+    """Gather plan: for each sample, kernel tap and output row, the input row
+    index (or N_in for 'no contribution'). TAP-MAJOR (B, K, N_out): every
+    per-tap slice is a full-lane (N,) vector, and the conv body consumes it
+    without a transpose. Reusable across layers with identical coords — the
+    analog of spconv's indice_key."""
 
-    gather_idx: jax.Array  # (B, N_out, K) int32 in [0, N_in]
+    gather_idx: jax.Array  # (B, K, N_out) int32 in [0, N_in]
     out_coords: jax.Array  # (B, N_out, 3) int32
     out_spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     kernel_size: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    out_rows_sorted: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+    @property
+    def num_taps(self) -> int:
+        return self.gather_idx.shape[1]
+
+
+def _centered_offsets(ksize):
+    """Static python list of (dz, dy, dx) tap offsets, row-major like
+    spconv."""
+    kz, ky, kx = ksize
+    return [
+        (dz - (kz - 1) // 2, dy - (ky - 1) // 2, dx - (kx - 1) // 2)
+        for dz in range(kz) for dy in range(ky) for dx in range(kx)
+    ]
 
 
 def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
     """Submanifold plan: output sites = input sites; neighbor at tap k is
     input site + k - (ksize-1)//2.
 
-    Perf (v5e): only the FIRST half of the taps is looked up in the dense
-    key->row table (the expensive part: random 4B gathers over a table that
-    can reach 340 MB at 0.075-voxel scale, ~11 ns each). The mirrored half
-    is derived by inverting each half-tap's row map with a small scatter
-    (symmetry: j is i's neighbor at offset d iff i is j's neighbor at -d),
-    and the center tap is the identity — measured ~2x over 27 lookups.
+    Perf (v5e): neighbor membership/rank comes from the word-rank table
+    (keytable.py) — one ~2-5 ns row gather per query instead of one
+    ~11-13 ns random HBM gather into a 332 MB dense table (round 1).
+    Queries are generated per tap as (N,)-shaped vector ops with STATIC key
+    offsets — materializing an (N, K, 3) neighbor tensor puts 3 in the vreg
+    minor dim and wastes 125/128 lanes (measured ~2x the whole plan cost).
+    The center tap is the identity (no lookup). Valid rows must have UNIQUE
+    keys.
     """
     ksize = _triple(ksize)
     z, y, x = st.spatial_shape
     n = st.num_rows
     k_total = ksize[0] * ksize[1] * ksize[2]
     assert k_total % 2 == 1, "submanifold kernels must be odd-sized"
-    half = k_total // 2
-    offs = _kernel_offsets(ksize) - (jnp.asarray(ksize, jnp.int32) - 1) // 2
+    center = k_total // 2
+    offs = _centered_offsets(ksize)
 
     cells = z * y * x
-    dense = _use_dense_table(st.batch_size, cells)
+    use_bitrank = _use_bitrank(st.batch_size, cells)
     ar = jnp.arange(n, dtype=jnp.int32)
 
     def one(coords, keys, valid):
-        nbr = coords[:, None, :] + offs[None, :half]  # (N, half, 3)
-        ok = (
-            (nbr[..., 0] >= 0) & (nbr[..., 0] < z)
-            & (nbr[..., 1] >= 0) & (nbr[..., 1] < y)
-            & (nbr[..., 2] >= 0) & (nbr[..., 2] < x)
-            & valid[:, None]
-        )
-        qkey = (nbr[..., 0] * y + nbr[..., 1]) * x + nbr[..., 2]
-        if dense:
-            # flat 1-element gathers beat a vmapped dynamic_slice window
-            # fetch (measured 5x on v5e: XLA lowers the window gather to
-            # per-row DMAs)
-            rows = _dense_lookup(
-                keys, valid, qkey.reshape(-1), ok.reshape(-1), n, cells
-            )
+        cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
+        qs, oks = [], []
+        for t, (dz, dy, dx) in enumerate(offs):
+            if t == center:
+                continue
+            ok_t = valid
+            if dz:
+                ok_t = ok_t & (cz + dz >= 0) & (cz + dz < z)
+            if dy:
+                ok_t = ok_t & (cy + dy >= 0) & (cy + dy < y)
+            if dx:
+                ok_t = ok_t & (cx + dx >= 0) & (cx + dx < x)
+            qs.append(keys + ((dz * y + dy) * x + dx))
+            oks.append(ok_t)
+        q = jnp.stack(qs).reshape(-1)    # ((K-1)*N,) tap-major
+        ok = jnp.stack(oks).reshape(-1)
+        if use_bitrank:
+            packed = keytable.pack_keys(keys, valid, cells)
+            rank = keytable.lookup(packed, q, ok, n)
+            rows = _rank_to_row(rank, keys, n, st.rows_sorted)
         else:
             order = jnp.argsort(keys)
             rows = _lookup(
-                keys[order], jnp.where(ok, qkey, _INT_MAX - 1).reshape(-1),
-                order, n,
+                keys[order], jnp.where(ok, q, _INT_MAX - 1), order, n
             )
-        rows = rows.reshape(n, half)
-        ident = jnp.where(valid, ar, n)
-        # invert each half tap: inv_k[rows_k[i]] = i (misses land in the
-        # dropped slot n); inv[k] is the row map of tap k_total-1-k
-        inv = jax.vmap(
-            lambda r: jnp.full((n + 1,), n, jnp.int32).at[r].set(
-                ar, mode="drop"
-            )[:n]
-        )(rows.T)  # (half, N)
-        mirrored = inv.T[:, ::-1]
-        return jnp.concatenate([rows, ident[:, None], mirrored], axis=1)
+        rows = rows.reshape(k_total - 1, n)
+        ident = jnp.where(valid, ar, n)[None]
+        return jnp.concatenate(
+            [rows[:center], ident, rows[center:]], axis=0
+        )
 
     gather = jax.vmap(one)(st.coords, st.keys(), st.valid)
-    return ConvPlan(gather, st.coords, st.spatial_shape, ksize)
+    return ConvPlan(
+        gather, st.coords, st.spatial_shape, ksize,
+        out_rows_sorted=st.rows_sorted,
+    )
 
 
 def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> ConvPlan:
@@ -251,66 +245,76 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     assert oz * oy * ox < 2**31
     n = st.num_rows
 
-    offs = _kernel_offsets(ksize)
-    kst = jnp.asarray(stride, jnp.int32)
-    kpd = jnp.asarray(padding, jnp.int32)
-    dense_in = _use_dense_table(st.batch_size, z * y * x)
-
+    k_count = ksize[0] * ksize[1] * ksize[2]
     cells_out = oz * oy * ox
-    dense_out = _use_dense_table(st.batch_size, cells_out)
+    dense_out = _use_bitrank(st.batch_size, cells_out)
 
     # per-dim candidate count: o in [ceil((i+pad-ks+1)/s), floor((i+pad)/s)]
     # has at most ceil(ks/s) integers — enumerate those instead of all K taps
     ncand = tuple(-(-k // s) for k, s in zip(ksize, stride))
-    cand_offs = jnp.stack(
-        jnp.meshgrid(*[jnp.arange(c) for c in ncand], indexing="ij"), -1
-    ).reshape(-1, 3).astype(jnp.int32)  # (C, 3) subtracted from floor-div
+    cand_list = [
+        (az, ay, ax)
+        for az in range(ncand[0]) for ay in range(ncand[1])
+        for ax in range(ncand[2])
+    ]
 
     def one(coords, keys, valid):
-        # candidate outputs per input site (C = prod(ncand) combos)
-        top = coords + kpd[None]                      # i + pad
-        o0 = top // kst[None]                         # (N, 3) floor-div
-        cand = o0[:, None, :] - cand_offs[None]       # (N, C, 3)
-        resid = top[:, None, :] - cand * kst[None, None]  # i + pad - o*s
-        ok = (
-            (resid >= 0).all(-1)
-            & (resid < jnp.asarray(ksize, jnp.int32)[None, None]).all(-1)
-            & (cand >= 0).all(-1)
-            & (cand[..., 0] < oz) & (cand[..., 1] < oy) & (cand[..., 2] < ox)
-            & valid[:, None]
-        )
-        cand_key = (cand[..., 0] * oy + cand[..., 1]) * ox + cand[..., 2]
-        cand_key = jnp.where(ok, cand_key, _INT_MAX).reshape(-1)
-        k_count = offs.shape[0]
+        # candidate outputs per input site, generated per static combo as
+        # (N,)-shaped vector ops (an (N, C, 3) tensor puts 3 in the vreg
+        # minor dim — measured ~2x the whole plan cost)
+        tz = coords[:, 0] + padding[0]
+        ty = coords[:, 1] + padding[1]
+        tx = coords[:, 2] + padding[2]
+        o0z, o0y, o0x = tz // stride[0], ty // stride[1], tx // stride[2]
+        ckeys, taps = [], []
+        for az, ay, ax in cand_list:
+            co_z, co_y, co_x = o0z - az, o0y - ay, o0x - ax
+            rz = tz - co_z * stride[0]
+            ry = ty - co_y * stride[1]
+            rx = tx - co_x * stride[2]
+            ok_c = (
+                valid
+                & (rz < ksize[0]) & (ry < ksize[1]) & (rx < ksize[2])
+                & (co_z >= 0) & (co_y >= 0) & (co_x >= 0)
+                & (co_z < oz) & (co_y < oy) & (co_x < ox)
+            )  # residuals are >= 0 by construction of the floor-div
+            ckeys.append(jnp.where(
+                ok_c, (co_z * oy + co_y) * ox + co_x, _INT_MAX))
+            taps.append((rz * ksize[1] + ry) * ksize[2] + rx)
+        cand_key = jnp.stack(ckeys).reshape(-1)  # (C*N,) candidate-major
+        tap = jnp.stack(taps).reshape(-1)
 
         if dense_out:
-            # dedup + plan by SCATTER (no input-side dense table at all):
-            # occupancy -> inclusive prefix -> rank = prefix[key]-1; the
-            # (input row, tap) pairs per output are unique, so both the
-            # out_key and the gather plan are plain drop-mode scatters.
-            occ = jnp.zeros((cells_out + 1,), bool).at[
-                jnp.minimum(cand_key, cells_out)
-            ].set(True)[:-1]
-            prefix = jnp.cumsum(occ.astype(jnp.int32))  # inclusive
-            safe_key = jnp.minimum(cand_key, cells_out - 1)
-            rank = prefix[safe_key] - 1  # (N*C,)
-            live = (cand_key != _INT_MAX) & (rank < max_out)
+            # dedup + plan by SCATTER (no input-side table at all):
+            # byte occupancy -> word-rank table (keytable.py) -> rank per
+            # candidate from one row gather (round 1 cumsum'd an int32
+            # prefix over every output cell — 43 MB of random HBM gathers
+            # at down2 scale). The (input row, tap) pairs per output are
+            # unique, so both the out_key and the gather plan are plain
+            # drop-mode scatters.
+            live0 = cand_key != _INT_MAX
+            occ = jnp.zeros((cells_out,), bool).at[
+                jnp.where(live0, cand_key, cells_out)
+            ].set(True, mode="drop")
+            packed = keytable.pack_occupancy(occ, cells_out)
+            rank = keytable.lookup(
+                packed, jnp.minimum(cand_key, cells_out - 1), live0,
+                max_out,
+            )
+            live = live0 & (rank < max_out)
             slot = jnp.where(live, rank, max_out)
             out_key = jnp.full((max_out + 1,), _INT_MAX, jnp.int32).at[
                 slot
             ].set(cand_key.astype(jnp.int32), mode="drop")[:max_out]
 
-            # tap index of (input i -> output o): resid = i + pad - o*s
-            tap = (
-                (resid[..., 0] * ksize[1] + resid[..., 1]) * ksize[2]
-                + resid[..., 2]
-            ).reshape(-1)
+            # tap-major plan: flat slot = tap * max_out + rank
             flat_pos = jnp.where(
-                live, slot * k_count + jnp.clip(tap, 0, k_count - 1),
+                live, jnp.clip(tap, 0, k_count - 1) * max_out + slot,
                 max_out * k_count,
             )
             rows_src = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[:, None], resid.shape[:2]
+                jnp.arange(n, dtype=jnp.int32)[None],
+                (len(cand_list), n),
             ).reshape(-1)
             gidx = jnp.full((max_out * k_count + 1,), n, jnp.int32).at[
                 flat_pos
@@ -326,7 +330,7 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
                 ovalid[:, None],
                 jnp.stack([cz, cy, cx], -1).astype(jnp.int32), -1,
             )
-            return gidx.reshape(max_out, k_count), out_coords
+            return gidx.reshape(k_count, max_out), out_coords
 
         skey = jnp.sort(cand_key)
         first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
@@ -351,33 +355,34 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             ovalid[:, None], jnp.stack([cz, cy, cx], -1).astype(jnp.int32), -1
         )
 
-        # gather rule: input coord = o*stride - pad + k
-        src = (
-            out_coords[:, None, :] * kst[None, None] - kpd[None, None]
-            + offs[None]
-        )
-        src_ok = (
-            (src[..., 0] >= 0) & (src[..., 0] < z)
-            & (src[..., 1] >= 0) & (src[..., 1] < y)
-            & (src[..., 2] >= 0) & (src[..., 2] < x)
-            & ovalid[:, None]
-        )
-        qkey = (src[..., 0] * y + src[..., 1]) * x + src[..., 2]
-        if dense_in:
-            gidx = _dense_lookup(
-                keys, valid, qkey.reshape(-1), src_ok.reshape(-1), n,
-                z * y * x,
+        # gather rule: input coord = o*stride - pad + k (tap-major)
+        order = jnp.argsort(keys)
+        skeys = keys[order]
+        qs, oks = [], []
+        for t, (dz, dy, dx) in enumerate(
+            (a, b, c)
+            for a in range(ksize[0]) for b in range(ksize[1])
+            for c in range(ksize[2])
+        ):
+            sz_ = cz * stride[0] - padding[0] + dz
+            sy_ = cy * stride[1] - padding[1] + dy
+            sx_ = cx * stride[2] - padding[2] + dx
+            ok_t = (
+                ovalid
+                & (sz_ >= 0) & (sz_ < z) & (sy_ >= 0) & (sy_ < y)
+                & (sx_ >= 0) & (sx_ < x)
             )
-        else:
-            order = jnp.argsort(keys)
-            gidx = _lookup(
-                keys[order], jnp.where(src_ok, qkey, _INT_MAX - 1).reshape(-1),
-                order, n,
-            )
-        return gidx.reshape(max_out, -1), out_coords
+            qs.append((sz_ * y + sy_) * x + sx_)
+            oks.append(ok_t)
+        q = jnp.stack(qs).reshape(-1)
+        ok = jnp.stack(oks).reshape(-1)
+        gidx = _lookup(skeys, jnp.where(ok, q, _INT_MAX - 1), order, n)
+        return gidx.reshape(k_count, max_out), out_coords
 
     gather, out_coords = jax.vmap(one)(st.coords, st.keys(), st.valid)
-    return ConvPlan(gather, out_coords, (oz, oy, ox), ksize)
+    return ConvPlan(
+        gather, out_coords, (oz, oy, ox), ksize, out_rows_sorted=True,
+    )
 
 
 # Optional compute dtype for the conv taps (e.g. jnp.bfloat16): halves HBM
@@ -403,20 +408,25 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
     rows + one im2col GEMM = 5.8 ms vs 13.1 ms for a take_along_axis scan —
     the raw lax.gather HLO (collapsed dims, clip mode) lowers ~2x better
     than take_along_axis's batched form, and the single call lets XLA
-    pipeline everything into the MXU matmul.
+    pipeline everything into the MXU matmul. (Windowed multi-tap gathers,
+    widened-operand windows and take_along_axis forms were all probed and
+    LOSE — tools/probes/r2_probe*.py: only this exact single-row gather
+    shape hits XLA:TPU's fast path.)
     """
     b, n_in, cin = features.shape
     if _COMPUTE_DTYPE is not None:
         features = features.astype(_COMPUTE_DTYPE)
         weights = weights.astype(_COMPUTE_DTYPE)
-    n_out, k = plan.gather_idx.shape[1:]
+    k, n_out = plan.gather_idx.shape[1:]
+
     padded = jnp.concatenate(
         [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
     ).reshape(b * (n_in + 1), cin)
 
-    # tap-major flat indices with per-sample base offsets
-    idx = plan.gather_idx.transpose(0, 2, 1)  # (B, K, N_out)
-    idx = idx + (jnp.arange(b, dtype=jnp.int32) * (n_in + 1))[:, None, None]
+    # plans are tap-major already; add per-sample base offsets
+    idx = plan.gather_idx + (
+        jnp.arange(b, dtype=jnp.int32) * (n_in + 1)
+    )[:, None, None]
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
     )

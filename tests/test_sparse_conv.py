@@ -14,8 +14,10 @@ from df3d.ops.sparse import (
 )
 
 
-def _random_sparse(rng, batch=2, shape=(8, 12, 12), n=64, cin=5, pad_to=96):
-    """Per-sample random occupancy: (B, pad_to) rows, n valid."""
+def _random_sparse(rng, batch=2, shape=(8, 12, 12), n=64, cin=5, pad_to=96,
+                   rows_sorted=False):
+    """Per-sample random occupancy: (B, pad_to) rows, n valid. Coords are
+    emitted key-sorted, so rows_sorted=True is a valid claim here."""
     all_coords, all_feats = [], []
     for _ in range(batch):
         sites = set()
@@ -27,7 +29,8 @@ def _random_sparse(rng, batch=2, shape=(8, 12, 12), n=64, cin=5, pad_to=96):
         all_coords.append(np.concatenate([coords, -np.ones((pad, 3), np.int32)]))
         all_feats.append(np.concatenate([feats, np.zeros((pad, cin), np.float32)]))
     return SparseTensor(
-        jnp.asarray(np.stack(all_feats)), jnp.asarray(np.stack(all_coords)), shape
+        jnp.asarray(np.stack(all_feats)), jnp.asarray(np.stack(all_coords)),
+        shape, rows_sorted=rows_sorted,
     )
 
 
@@ -147,7 +150,7 @@ def test_sort_path_matches_dense_path(monkeypatch):
     st = _random_sparse(rng, shape=(8, 12, 12), n=64, pad_to=96)
     plan_dense = build_subm_plan(st, 3)
     conv_dense = build_conv_plan(st, 3, 2, 1, max_out=160)
-    monkeypatch.setattr(S, "_DENSE_TABLE_BUDGET", 0)
+    monkeypatch.setattr(S, "_TABLE_BUDGET", 0)
     plan_sort = build_subm_plan(st, 3)
     conv_sort = build_conv_plan(st, 3, 2, 1, max_out=160)
     np.testing.assert_array_equal(
@@ -173,6 +176,40 @@ def test_conv_plan_cap_overflow_truncates_by_key_order():
     oc_small = np.asarray(small.out_coords)[0]
     oc_full = np.asarray(full.out_coords)[0][:16]
     np.testing.assert_array_equal(oc_small, oc_full)  # prefix preserved
+
+
+def test_sorted_rows_plan_matches_unsorted():
+    """rows_sorted=True (rank == row fast path) must produce the identical
+    plan as the argsort-mapped path on the same (already sorted) coords."""
+    rng = np.random.RandomState(11)
+    st = _random_sparse(rng, rows_sorted=False)
+    st_sorted = _random_sparse(np.random.RandomState(11), rows_sorted=True)
+    p_u = build_subm_plan(st, 3)
+    p_s = build_subm_plan(st_sorted, 3)
+    np.testing.assert_array_equal(
+        np.asarray(p_u.gather_idx), np.asarray(p_s.gather_idx))
+    c_u = build_conv_plan(st, 3, 2, 1, max_out=160)
+    c_s = build_conv_plan(st_sorted, 3, 2, 1, max_out=160)
+    np.testing.assert_array_equal(
+        np.asarray(c_u.gather_idx), np.asarray(c_s.gather_idx))
+    np.testing.assert_array_equal(
+        np.asarray(c_u.out_coords), np.asarray(c_s.out_coords))
+
+
+def test_unsorted_rows_construction_still_correct():
+    """Manually shuffled (unsorted) rows with rows_sorted=False must still
+    produce a correct subm conv (argsort rank->row mapping)."""
+    rng = np.random.RandomState(14)
+    st = _random_sparse(rng, batch=1, n=48, pad_to=64)
+    perm = rng.permutation(64)
+    st_shuf = SparseTensor(
+        st.features[:, perm], st.coords[:, perm], st.spatial_shape
+    )
+    w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.1)
+    plan = build_subm_plan(st_shuf, 3)
+    out = apply_sparse_conv(st_shuf.features, plan, w)
+    ref = _dense_conv(st_shuf.to_dense(), w, (3, 3, 3), 1, 1)
+    _check_against_dense(st_shuf.coords, out, ref)
 
 
 def test_voxelize_cap_overflow():

@@ -1,37 +1,42 @@
-"""Word-granular occupancy-rank tables for sparse-key membership + rank.
+"""Bit-packed occupancy-rank tables for sparse-key membership + rank.
 
 The round-1 rulebook looked neighbor keys up in a dense int32 key->row table
 (grid cells x 4 bytes — 332 MB at nuScenes 0.075-voxel scale). Every lookup
 was one random HBM gather at ~11-13 ns; plan builds dominated the
 CenterPoint forward (~93 ms of 237 ms).
 
-This module stores, per 32-cell word, the pair `[bit_word, prefix]` where
-`prefix` is the exclusive rank prefix (number of present keys before the
-word) — an (nwords, 2) int32 table, 16x smaller than the dense table
-(20.7 MB at the same scale). A lookup is ONE contiguous (1, 2) row gather
-plus a handful of (Q,)-shaped vector ops:
+This module packs the same information 28x smaller: per 448-cell block one
+64-byte row `[prefix, w0..w13, pad]` — occupancy bits plus the exclusive
+rank prefix of the block (11.8 MB at the (40,1440,1440) grid). A lookup is
+ONE row gather + an unrolled word-major popcount:
 
-    rank(q) = prefix[q >> 5] + popcount(word & ((1 << (q & 31)) - 1))
-    hit(q)  = bit (q & 31) of word
+    rank(q) = prefix[q // 448] + popcount(bits below q within the block)
+    hit(q)  = bit q set
 
-The layout is the product of extensive on-chip measurement
-(tools/probes/r2_probe*.py, round 2):
+Every constant here is the product of on-chip measurement
+(tools/probes/r2_probe*.py, round 2). The v5e gather/layout rules learned:
 
   * only single-row gathers (slice_sizes=(1, C), collapsed_slice_dims=(0,))
     hit XLA:TPU's fast path — windowed/multi-row slices, flat-1D slices and
     take_along_axis forms are up to ~200x slower;
-  * random row gathers run ~2 ns/row from tables under ~12 MB, ~5 ns at
-    ~21 MB, ~11-13 ns for big HBM tables;
-  * (Q, k)-shaped mask/popcount chains (block-of-words designs) cost ~1-3 ms
-    per pass at 3.24M queries — layout mixing between (Q,) and (Q, k)
-    tensors relayouts vregs; this design needs exactly one (Q,) popcount.
+  * rates are WIDTH- and SIZE-dependent: 64B rows from a <~12 MB table run
+    ~2 ns/row; 4-32B rows run 4.7-6.8 ns at any size; >~16 MB degrades to
+    HBM latency (5-13 ns);
+  * the gather output must be produced TRANSPOSED (offset_dims=(0,), giving
+    (16, Q)) so the finish consumes contiguous (Q,) column slices — with
+    the natural (Q, 16) output, slicing columns (or mixing (Q,)-shaped and
+    (Q, k)-shaped tensors at all) relayouts vregs per op and costs more
+    than the gather itself;
+  * query streams must be generated as per-tap (N,)-shaped vector ops with
+    static key offsets — an (N, K, 3) neighbor tensor puts 3 in the vreg
+    minor dim (125/128 lanes wasted).
 
-Because every df3d producer (ops/voxelize.py, sparse.py strided plans) emits
-rows sorted by spatial key, `rank` IS the row index — membership and row id
-come out of the same gather. Replaces the reference's generate_voxel2pinds
-dense table (VoxelRCNN/pcdet .../voxel_query_utils.py) and the spconv hash
-rulebook (TransFusion/mmdet3d/ops/spconv/src/indice.cc) with a TPU-friendly
-structure.
+Because every df3d producer (ops/voxelize.py, sparse.py strided plans)
+emits rows sorted by spatial key, `rank` IS the row index — membership and
+row id come out of the same gather. Replaces the reference's
+generate_voxel2pinds dense table (VoxelRCNN/pcdet .../voxel_query_utils.py)
+and the spconv hash rulebook (TransFusion/mmdet3d/ops/spconv/src/indice.cc)
+with a TPU-friendly structure.
 """
 
 from __future__ import annotations
@@ -40,66 +45,89 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_ROW_DN = lax.GatherDimensionNumbers(
-    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+BLOCK_CELLS = 448
+_W = BLOCK_CELLS // 32  # 14 words per block
+_FULL = jnp.uint32(0xFFFFFFFF)
+
+_ROW_DN_T = lax.GatherDimensionNumbers(
+    offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)
 )
 
 
-def num_words(cells: int) -> int:
-    return (cells + 31) // 32
+def num_blocks(cells: int) -> int:
+    return (cells + BLOCK_CELLS - 1) // BLOCK_CELLS
 
 
-def _interleave(words: jax.Array) -> jax.Array:
-    """uint32 bit words (nwords,) -> (nwords, 2) int32 [word, prefix]."""
+def _pack_words(words: jax.Array) -> jax.Array:
+    """uint32 bit words (nblk*_W,) -> packed (nblk, 16) int32 64B rows."""
+    nblk = words.shape[0] // _W
     wc = lax.population_count(words).astype(jnp.int32)
-    pre = jnp.cumsum(wc) - wc  # exclusive word prefix
-    return jnp.stack([lax.bitcast_convert_type(words, jnp.int32), pre], -1)
+    blk = wc.reshape(nblk, _W).sum(-1)
+    pre = jnp.cumsum(blk) - blk  # exclusive block prefix
+    return jnp.concatenate(
+        [pre[:, None],
+         lax.bitcast_convert_type(words, jnp.int32).reshape(nblk, _W),
+         jnp.zeros((nblk, 1), jnp.int32)],
+        axis=1,
+    )
 
 
 def pack_keys(keys: jax.Array, valid: jax.Array, cells: int) -> jax.Array:
     """Build the packed table from UNIQUE keys (duplicates among valid rows
     would corrupt the bit scatter-add). keys (N,) int32 in [0, cells)."""
-    nwords = num_words(cells)
-    wslot = jnp.where(valid, keys >> 5, nwords)
+    nblk = num_blocks(cells)
+    nwords = nblk * _W
+    blk = keys // BLOCK_CELLS
+    inblk = keys - blk * BLOCK_CELLS
+    wslot = jnp.where(valid, blk * _W + (inblk >> 5), nwords)
     bit = jnp.where(
         valid,
-        jnp.uint32(1) << (keys & 31).astype(jnp.uint32),
+        jnp.uint32(1) << (inblk & 31).astype(jnp.uint32),
         jnp.uint32(0),
     )
     words = (
         jnp.zeros((nwords + 1,), jnp.uint32)
         .at[wslot].add(bit, mode="drop")[:nwords]
     )
-    return _interleave(words)
+    return _pack_words(words)
 
 
 def pack_occupancy(occ: jax.Array, cells: int) -> jax.Array:
     """Build the packed table from a dense (cells,) bool occupancy (handles
     duplicate writers upstream — .set(True) is idempotent)."""
-    nwords = num_words(cells)
-    pad = nwords * 32 - cells
+    nblk = num_blocks(cells)
+    pad = nblk * BLOCK_CELLS - cells
     if pad:
         occ = jnp.concatenate([occ, jnp.zeros((pad,), occ.dtype)])
     bitvals = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None]
     words = (occ.reshape(-1, 32).astype(jnp.uint32) * bitvals).sum(
         -1, dtype=jnp.uint32
     )
-    return _interleave(words)
+    return _pack_words(words)
 
 
 def lookup(packed: jax.Array, q: jax.Array, q_ok: jax.Array,
            miss: int) -> jax.Array:
     """Rank of each query key among the present keys, or `miss`.
-    packed (nwords, 2); q (Q,) int32 cell keys; q_ok (Q,) bool."""
-    nwords = packed.shape[0]
-    wslot = jnp.where(q_ok, q >> 5, nwords)
+    packed (nblk, 16); q (Q,) int32 cell keys; q_ok (Q,) bool."""
+    nblk = packed.shape[0]
+    blk = q // BLOCK_CELLS
+    b = jnp.where(q_ok, blk, nblk)
     row = lax.gather(
-        packed, wslot[:, None], _ROW_DN, slice_sizes=(1, 2), mode="clip"
-    )
-    w = lax.bitcast_convert_type(row[:, 0], jnp.uint32)
-    pre = row[:, 1]
-    jb = (q & 31).astype(jnp.uint32)
+        packed, b[:, None], _ROW_DN_T, slice_sizes=(1, 16), mode="clip"
+    )  # (16, Q): column slices below are contiguous (Q,) vectors
+    row = lax.optimization_barrier(row)
+    j = q - blk * BLOCK_CELLS
+    jw = j >> 5
+    jb = (j & 31).astype(jnp.uint32)
     partial = (jnp.uint32(1) << jb) - jnp.uint32(1)
-    rank = pre + lax.population_count(w & partial).astype(jnp.int32)
-    hit = ((w >> jb) & jnp.uint32(1)).astype(bool)
+    rank = row[0]
+    hit_word = jnp.uint32(0)
+    for i in range(_W):
+        wi = lax.bitcast_convert_type(row[1 + i], jnp.uint32)
+        mask = jnp.where(jw > i, _FULL,
+                         jnp.where(jw == i, partial, jnp.uint32(0)))
+        rank = rank + lax.population_count(wi & mask).astype(jnp.int32)
+        hit_word = jnp.where(jw == i, wi, hit_word)
+    hit = ((hit_word >> jb) & jnp.uint32(1)).astype(bool)
     return jnp.where(q_ok & hit, rank, miss)

@@ -73,9 +73,12 @@ def sparse_conv_pallas_single(features, gather_idx, weights, tile=512,
 def apply_sparse_conv_pallas(features, plan_gather_idx, weights, tile=512,
                              interpret=False):
     """Batched fused conv: features (B, N, Cin); plan_gather_idx
-    (B, K, N_out) tap-major with N = 'miss'; weights (K, Cin, Cout) ->
-    (B, N_out, Cout)."""
+    (B, K, N_out) tap-major (or flat (B, K*N_out), reshaped here) with
+    N = 'miss'; weights (K, Cin, Cout) -> (B, N_out, Cout)."""
     b, n, cin = features.shape
+    if plan_gather_idx.ndim == 2:
+        plan_gather_idx = plan_gather_idx.reshape(
+            b, weights.shape[0], -1)
     padded = jnp.concatenate(
         [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
     )
@@ -95,9 +98,12 @@ def _bwd(tile, interpret, res, g):
     features, gather_idx, weights = res
 
     def ref_fn(f, w):
+        k = w.shape[0]
+        flat = gather_idx.reshape(gather_idx.shape[0], -1)
+        n_out = flat.shape[1] // k
         plan = sparse_xla.ConvPlan(
-            gather_idx, jnp.zeros_like(gather_idx[:, :, :3]), (1, 1, 1),
-            (1, 1, 1),
+            flat, jnp.zeros((flat.shape[0], n_out, 3), jnp.int32),
+            (1, 1, 1), (k, 1, 1),
         )
         return sparse_xla.apply_sparse_conv(f, plan, w)
 

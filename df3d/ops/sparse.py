@@ -101,15 +101,15 @@ def _kernel_offsets(ksize: Sequence[int]) -> jnp.ndarray:
     return jnp.stack([oz, oy, ox], axis=-1).reshape(-1, 3).astype(jnp.int32)
 
 
-# Budget (bytes) for the per-sample word-rank key table (ops/keytable.py:
-# [bit word, rank prefix] per 32 grid cells — ~21 MB at nuScenes
+# Budget (bytes) for the per-sample block-rank key table (ops/keytable.py:
+# one 64B [prefix, bit words] row per 448 grid cells — ~12 MB at nuScenes
 # 0.075-voxel scale). Above budget, fall back to searchsorted over the
 # per-sample sorted keys.
 _TABLE_BUDGET = 2 << 30
 
 
 def _use_bitrank(batch: int, cells: int) -> bool:
-    return batch * keytable.num_words(cells) * 8 <= _TABLE_BUDGET
+    return batch * keytable.num_blocks(cells) * 64 <= _TABLE_BUDGET
 
 
 def _lookup(sorted_keys, query, row_of_sorted, n):
@@ -137,12 +137,14 @@ def _rank_to_row(rank, keys, n, rows_sorted):
 @dataclasses.dataclass(frozen=True)
 class ConvPlan:
     """Gather plan: for each sample, kernel tap and output row, the input row
-    index (or N_in for 'no contribution'). TAP-MAJOR (B, K, N_out): every
-    per-tap slice is a full-lane (N,) vector, and the conv body consumes it
-    without a transpose. Reusable across layers with identical coords — the
-    analog of spconv's indice_key."""
+    index (or N_in for 'no contribution'). Stored tap-major and FLAT
+    (B, K*N_out): reshaping the flat lookup stream into a (K, N) 2D array
+    changes the TPU tiling (T(1024) -> T(8,128)) and measured ~30 ms at
+    nuScenes scale — and the conv body consumes flat indices anyway.
+    Reusable across layers with identical coords — the analog of spconv's
+    indice_key."""
 
-    gather_idx: jax.Array  # (B, K, N_out) int32 in [0, N_in]
+    gather_idx: jax.Array  # (B, K*N_out) int32 in [0, N_in], tap-major
     out_coords: jax.Array  # (B, N_out, 3) int32
     out_spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     kernel_size: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
@@ -150,7 +152,17 @@ class ConvPlan:
 
     @property
     def num_taps(self) -> int:
-        return self.gather_idx.shape[1]
+        k = self.kernel_size
+        return k[0] * k[1] * k[2]
+
+    @property
+    def num_out_rows(self) -> int:
+        return self.gather_idx.shape[1] // self.num_taps
+
+    def gather_idx_2d(self) -> jax.Array:
+        """(B, K, N_out) view for tests/debug (pays a relayout on TPU)."""
+        return self.gather_idx.reshape(
+            self.gather_idx.shape[0], self.num_taps, -1)
 
 
 def _centered_offsets(ksize):
@@ -173,27 +185,22 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
     Queries are generated per tap as (N,)-shaped vector ops with STATIC key
     offsets — materializing an (N, K, 3) neighbor tensor puts 3 in the vreg
     minor dim and wastes 125/128 lanes (measured ~2x the whole plan cost).
-    The center tap is the identity (no lookup). Valid rows must have UNIQUE
-    keys.
+    Valid rows must have UNIQUE keys.
     """
     ksize = _triple(ksize)
     z, y, x = st.spatial_shape
     n = st.num_rows
     k_total = ksize[0] * ksize[1] * ksize[2]
     assert k_total % 2 == 1, "submanifold kernels must be odd-sized"
-    center = k_total // 2
     offs = _centered_offsets(ksize)
 
     cells = z * y * x
     use_bitrank = _use_bitrank(st.batch_size, cells)
-    ar = jnp.arange(n, dtype=jnp.int32)
 
     def one(coords, keys, valid):
         cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
         qs, oks = [], []
-        for t, (dz, dy, dx) in enumerate(offs):
-            if t == center:
-                continue
+        for dz, dy, dx in offs:
             ok_t = valid
             if dz:
                 ok_t = ok_t & (cz + dz >= 0) & (cz + dz < z)
@@ -203,7 +210,7 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
                 ok_t = ok_t & (cx + dx >= 0) & (cx + dx < x)
             qs.append(keys + ((dz * y + dy) * x + dx))
             oks.append(ok_t)
-        q = jnp.stack(qs).reshape(-1)    # ((K-1)*N,) tap-major
+        q = jnp.stack(qs).reshape(-1)    # (K*N,) tap-major, stays FLAT
         ok = jnp.stack(oks).reshape(-1)
         if use_bitrank:
             packed = keytable.pack_keys(keys, valid, cells)
@@ -214,13 +221,20 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
             rows = _lookup(
                 keys[order], jnp.where(ok, q, _INT_MAX - 1), order, n
             )
-        rows = rows.reshape(k_total - 1, n)
-        ident = jnp.where(valid, ar, n)[None]
-        return jnp.concatenate(
-            [rows[:center], ident, rows[center:]], axis=0
-        )
+        return rows
 
-    gather = jax.vmap(one)(st.coords, st.keys(), st.valid)
+    # python-unrolled over the (small) batch: vmap's gather batching rule
+    # rewrites the transposed-output gather off XLA:TPU's fast path
+    # (measured 4x slower at nuScenes scale)
+    keys_all, valid_all = st.keys(), st.valid
+    gather = jnp.stack([
+        one(st.coords[b], keys_all[b], valid_all[b])
+        for b in range(st.batch_size)
+    ])
+    # materialize: without the barrier XLA fuses the rulebook build into
+    # every consumer conv's gather-index computation, re-running the table
+    # lookups once per layer that shares the plan
+    gather = jax.lax.optimization_barrier(gather)
     return ConvPlan(
         gather, st.coords, st.spatial_shape, ksize,
         out_rows_sorted=st.rows_sorted,
@@ -285,13 +299,11 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         tap = jnp.stack(taps).reshape(-1)
 
         if dense_out:
-            # dedup + plan by SCATTER (no input-side table at all):
-            # byte occupancy -> word-rank table (keytable.py) -> rank per
-            # candidate from one row gather (round 1 cumsum'd an int32
-            # prefix over every output cell — 43 MB of random HBM gathers
-            # at down2 scale). The (input row, tap) pairs per output are
-            # unique, so both the out_key and the gather plan are plain
-            # drop-mode scatters.
+            # dedup by scatter into an output-cell occupancy -> word-rank
+            # table (keytable.py) -> rank per candidate from one row gather
+            # (round 1 cumsum'd an int32 prefix over every output cell —
+            # 43 MB of random HBM gathers at down2 scale). The winner per
+            # unique output writes out_key via a drop-mode scatter.
             live0 = cand_key != _INT_MAX
             occ = jnp.zeros((cells_out,), bool).at[
                 jnp.where(live0, cand_key, cells_out)
@@ -303,11 +315,12 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             )
             live = live0 & (rank < max_out)
             slot = jnp.where(live, rank, max_out)
-            out_key = jnp.full((max_out + 1,), _INT_MAX, jnp.int32).at[
-                slot
-            ].set(cand_key.astype(jnp.int32), mode="drop")[:max_out]
 
-            # tap-major plan: flat slot = tap * max_out + rank
+            # gather plan by SCATTER of the (input row, tap) pairs
+            # (unique per output, drop-mode). An output-side gather form
+            # (27 rank lookups per output row into the input key table)
+            # was probed and is ~10 ms SLOWER in-model at down2 scale
+            # despite fewer indexed elements — scatters win here.
             flat_pos = jnp.where(
                 live, jnp.clip(tap, 0, k_count - 1) * max_out + slot,
                 max_out * k_count,
@@ -320,17 +333,34 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
                 flat_pos
             ].set(rows_src, mode="drop")[:-1]
 
-            ovalid = out_key != _INT_MAX
-            k_ = jnp.where(ovalid, out_key, 0)
-            cx = k_ % ox
-            k_ = k_ // ox
-            cy = k_ % oy
-            cz = k_ // oy
+            # out_coords decoded FROM the plan instead of a second 960k
+            # scatter (measured ~5 ms at down2 scale): every live output
+            # slot has >= 1 valid tap; its input row + tap offset determine
+            # the output cell exactly (resid construction).
+            first_r = jnp.full((max_out,), n, jnp.int32)
+            first_k = jnp.zeros((max_out,), jnp.int32)
+            for t in range(k_count):
+                seg = jax.lax.dynamic_slice_in_dim(
+                    gidx, t * max_out, max_out)
+                found = (seg < n) & (first_r == n)
+                first_r = jnp.where(found, seg, first_r)
+                first_k = jnp.where(found, t, first_k)
+            ovalid = first_r < n
+            in_key = jnp.concatenate(
+                [keys, jnp.array([0], jnp.int32)])[jnp.minimum(first_r, n)]
+            iz = in_key // (y * x)
+            iy = (in_key // x) % y
+            ix = in_key % x
+            oz_ = (iz + padding[0] - first_k // (ksize[1] * ksize[2])
+                   ) // stride[0]
+            oy_ = (iy + padding[1] - (first_k // ksize[2]) % ksize[1]
+                   ) // stride[1]
+            ox_ = (ix + padding[2] - first_k % ksize[2]) // stride[2]
             out_coords = jnp.where(
                 ovalid[:, None],
-                jnp.stack([cz, cy, cx], -1).astype(jnp.int32), -1,
+                jnp.stack([oz_, oy_, ox_], -1).astype(jnp.int32), -1,
             )
-            return gidx.reshape(k_count, max_out), out_coords
+            return gidx, out_coords  # stays FLAT (K*max_out,)
 
         skey = jnp.sort(cand_key)
         first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
@@ -377,9 +407,17 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         q = jnp.stack(qs).reshape(-1)
         ok = jnp.stack(oks).reshape(-1)
         gidx = _lookup(skeys, jnp.where(ok, q, _INT_MAX - 1), order, n)
-        return gidx.reshape(k_count, max_out), out_coords
+        return gidx, out_coords  # stays FLAT (K*max_out,)
 
-    gather, out_coords = jax.vmap(one)(st.coords, st.keys(), st.valid)
+    # python-unrolled over the batch (see build_subm_plan)
+    keys_all, valid_all = st.keys(), st.valid
+    outs = [
+        one(st.coords[b], keys_all[b], valid_all[b])
+        for b in range(st.batch_size)
+    ]
+    gather = jnp.stack([o[0] for o in outs])
+    out_coords = jnp.stack([o[1] for o in outs])
+    gather, out_coords = jax.lax.optimization_barrier((gather, out_coords))
     return ConvPlan(
         gather, out_coords, (oz, oy, ox), ksize, out_rows_sorted=True,
     )
@@ -417,19 +455,22 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
     if _COMPUTE_DTYPE is not None:
         features = features.astype(_COMPUTE_DTYPE)
         weights = weights.astype(_COMPUTE_DTYPE)
-    k, n_out = plan.gather_idx.shape[1:]
+    k = plan.num_taps
+    n_out = plan.gather_idx.shape[1] // k
 
     padded = jnp.concatenate(
         [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
     ).reshape(b * (n_in + 1), cin)
 
-    # plans are tap-major already; add per-sample base offsets
+    # plans are tap-major flat; add per-sample base offsets
     idx = plan.gather_idx + (
         jnp.arange(b, dtype=jnp.int32) * (n_in + 1)
-    )[:, None, None]
+    )[:, None]
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
     )
+    # the (B*K*N, cin) -> (b, k, n_out, cin) reshape only splits the
+    # leading dim — no tiling change, unlike reshaping the flat int plan
     g = jax.lax.gather(
         padded, idx.reshape(-1, 1), dnums, slice_sizes=(1, cin), mode="clip"
     ).reshape(b, k, n_out, cin)

@@ -227,10 +227,24 @@ def make_fused_train_step(model, lidar_cfg) -> Callable:
     return train_step
 
 
-def make_centerpoint_eval_step(model: CenterPoint, cfg: CenterPointConfig) -> Callable:
+def make_centerpoint_eval_step(model: CenterPoint, cfg: CenterPointConfig,
+                               tta: str | None = None) -> Callable:
+    """Eval step; tta='double_flip' evaluates each sample as
+    [id, flip_y, flip_x, flip_both] (batch x4), un-flips and averages the
+    head maps before decoding — the det3d CenterPoint TTA path
+    (CenterPoint/det3d/models/bbox_heads/center_head.py:327-423)."""
+    assert tta in (None, "double_flip"), tta
+
     def eval_step(state: TrainState, batch):
+        points, valid = batch["points"], batch["points_valid"]
+        if tta == "double_flip":
+            from df3d.models.tta import (
+                expand_points_double_flip, merge_center_head_maps,
+            )
+            points = expand_points_double_flip(points)
+            valid = jnp.repeat(valid, 4, axis=0)
         res = voxelize_batch(
-            batch["points"], batch["points_valid"], cfg.voxel_size,
+            points, valid, cfg.voxel_size,
             cfg.pc_range, cfg.grid_size, cfg.max_voxels,
             cfg.max_points_per_voxel,
         )
@@ -238,6 +252,8 @@ def make_centerpoint_eval_step(model: CenterPoint, cfg: CenterPointConfig) -> Ca
             {"params": state.params, "batch_stats": state.batch_stats},
             res.features, res.coords, train=False,
         )
+        if tta == "double_flip":
+            preds = merge_center_head_maps(preds)
         return centerpoint_predict(cfg, preds)
 
     return eval_step

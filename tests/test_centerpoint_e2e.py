@@ -103,3 +103,34 @@ def test_predict_static_shapes(setup):
     assert out["labels"].shape == (2, k)
     assert out["valid"].shape == (2, k)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_tta_double_flip_eval_step(setup):
+    """make_centerpoint_eval_step(tta='double_flip') must run under jit and
+    decode the same number of boxes per sample as the plain step (flip
+    merge averages maps; shapes/structure unchanged)."""
+    from df3d.train.schedules import adam_onecycle
+    from df3d.train.trainer import (
+        create_centerpoint_state, make_centerpoint_eval_step,
+    )
+
+    rng = np.random.RandomState(3)
+    points = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-15, 15, (1, 400, 2)),
+             rng.uniform(-1.8, 1.8, (1, 400, 1)),
+             rng.uniform(0, 1, (1, 400, 1))], axis=-1
+        ).astype(np.float32)
+    )
+    batch = {"points": points, "points_valid": jnp.ones((1, 400), bool)}
+    _, state = create_centerpoint_state(
+        TINY, jax.random.PRNGKey(0), adam_onecycle(1e-3, 1), points,
+    )
+    model = CenterPoint(TINY)
+    plain = jax.jit(make_centerpoint_eval_step(model, TINY))(state, batch)
+    tta = jax.jit(
+        make_centerpoint_eval_step(model, TINY, tta="double_flip")
+    )(state, batch)
+    assert tta["boxes"].shape == plain["boxes"].shape  # (B, ...) not B*4
+    assert np.isfinite(np.asarray(tta["boxes"])).all()
+    assert np.asarray(tta["scores"]).max() <= 1.0

@@ -26,7 +26,7 @@ def test_pack_keys_lookup_random():
 
     packed = keytable.pack_keys(
         jnp.asarray(keys_arr), jnp.asarray(valid), cells)
-    assert packed.shape == (keytable.num_words(cells), 2)
+    assert packed.shape == (keytable.num_blocks(cells), 16)
 
     q = rng.randint(0, cells, 1000).astype(np.int32)
     q_ok = rng.rand(1000) > 0.1

@@ -102,7 +102,7 @@ def main():
                 c, s = carry
                 p = build_subm_plan(
                     SparseTensor(st_.features, c, grid, rows_sorted=True), 3)
-                s2 = p.gather_idx[0, 0, 0]
+                s2 = p.gather_idx[0, 0]
                 return (c + rt0(s2.astype(jnp.float32)), s2)
             return jax.lax.fori_loop(0, IT, body, (coords, jnp.int32(0)))[1]
         return jax.jit(run)
@@ -116,7 +116,7 @@ def main():
                 p = build_conv_plan(
                     SparseTensor(st_.features, c, grid, rows_sorted=True),
                     3, 2, pad, max_out=mo)
-                s2 = p.gather_idx[0, 0, 0]
+                s2 = p.gather_idx[0, 0]
                 return (c + rt0(s2.astype(jnp.float32)), s2)
             return jax.lax.fori_loop(0, IT, body, (coords, jnp.int32(0)))[1]
         return jax.jit(run)

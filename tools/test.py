@@ -30,6 +30,8 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--max-points", type=int, default=260_000)
     p.add_argument("--out", default=None)
+    p.add_argument("--tta", choices=["double_flip"], default=None,
+                   help="test-time augmentation (det3d double-flip)")
     p.add_argument("--watch", action="store_true")
     p.add_argument("--max-waiting-mins", type=int, default=30)
     return p.parse_args()
@@ -57,7 +59,7 @@ def evaluate_once(args, cfg, state_dir):
     state, step = restore_latest(state_dir, state)
     if state is None:
         raise SystemExit(f"no checkpoint in {state_dir}")
-    eval_step = jax.jit(make_centerpoint_eval_step(model, cfg))
+    eval_step = jax.jit(make_centerpoint_eval_step(model, cfg, tta=args.tta))
 
     loader = PrefetchLoader(
         dataset, args.batch_size, shuffle=False, drop_last=False,

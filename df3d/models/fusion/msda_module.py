@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from df3d.ops.msda import ms_deform_attn
+from df3d.ops.msda import ms_deform_attn_t
 
 
 def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
@@ -55,12 +55,10 @@ class MSDeformAttnModule(nn.Module):
     ) -> jax.Array:
         b, q, _ = query.shape
         nh, nl, npnt = self.n_heads, self.n_levels, self.n_points
-        head_dim = self.d_model // nh
 
         value = nn.Dense(self.d_model, name="value_proj")(value_flatten)
         if value_mask is not None:
             value = value * value_mask[..., None]
-        value = value.reshape(b, -1, nh, head_dim)
 
         weight_query = query
         if self.q_method is not None:
@@ -86,20 +84,38 @@ class MSDeformAttnModule(nn.Module):
             kernel_init=nn.initializers.zeros,
             bias_init=_offset_bias_init(nh, nl, npnt),
             name="sampling_offsets",
-        )(query).reshape(b, q, nh, nl, npnt, 2)
+        )(query)                              # (B, Q, nH*L*P*2)
         attn = nn.Dense(
             nh * nl * npnt,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             name="attention_weights",
-        )(weight_query).reshape(b, q, nh, nl * npnt)
-        attn = jax.nn.softmax(attn, axis=-1).reshape(b, q, nh, nl, npnt)
+        )(weight_query)                       # (B, Q, nH*L*P)
 
-        normalizer = jnp.asarray(
-            [[wl, hl] for hl, wl in spatial_shapes], jnp.float32
-        )  # (L, 2) in (x, y)
-        locs = (
-            reference_points[:, :, None, :, None, :]
-            + offsets / normalizer[None, None, None, :, None, :]
-        )
-        out = ms_deform_attn(value, spatial_shapes, locs, attn)
+        # lane-first from here (see ops/msda.py): ONE transpose into
+        # (rows, B*Q) streams; all per-(head, level, point) math is then
+        # contiguous full-lane vectors instead of minor-dim-2/4 tensors
+        offs_t = offsets.reshape(b * q, -1).T       # (nH*L*P*2, BQ)
+        attn_t = attn.reshape(b * q, -1).T          # (nH*L*P, BQ)
+        lp = nl * npnt
+        heads = []
+        for hd in range(nh):                        # softmax over L*P rows
+            sl = attn_t[hd * lp:(hd + 1) * lp]
+            sl = sl - sl.max(axis=0, keepdims=True)
+            e = jnp.exp(sl)
+            heads.append(e / e.sum(axis=0, keepdims=True))
+        attn_t = jnp.concatenate(heads, axis=0)
+
+        ref_t = reference_points.reshape(b * q, nl * 2).T  # (L*2, BQ)
+        # row r = ((h*L + l)*P + p)*2 + xy  ->  ref row l*2 + xy
+        row_map = jnp.asarray(
+            [l * 2 + xy
+             for _ in range(nh) for l in range(nl)
+             for _ in range(npnt) for xy in range(2)], jnp.int32)
+        inv_norm = jnp.asarray(
+            [1.0 / (spatial_shapes[l][1] if xy == 0 else spatial_shapes[l][0])
+             for _ in range(nh) for l in range(nl)
+             for _ in range(npnt) for xy in range(2)], jnp.float32)
+        loc_t = jnp.take(ref_t, row_map, axis=0) + offs_t * inv_norm[:, None]
+
+        out = ms_deform_attn_t(value, spatial_shapes, loc_t, attn_t, nh)
         return nn.Dense(self.d_model, name="output_proj")(out)

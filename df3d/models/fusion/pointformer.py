@@ -13,6 +13,8 @@ df3d.ops.pointops (static shapes + masks).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -53,6 +55,7 @@ class LocalTransformer(nn.Module):
     num_layers: int = 2
     nhead: int = 4
     feat_agg_method: str = "replace"  # 'replace' | 'sum'
+    fps_chunks: int | None = None  # None = auto (~npoint/32); 1 = exact FPS
 
     @nn.compact
     def __call__(self, xyz: jax.Array, features: jax.Array, valid: jax.Array):
@@ -60,8 +63,14 @@ class LocalTransformer(nn.Module):
         valid (B, N). Returns updated features (B, N, C)."""
         b, n, c = features.shape
 
+        # chunked FPS: sequential depth npoint -> ~32 (see pointops)
+        fps_chunks = self.fps_chunks
+        if fps_chunks is None:
+            fps_chunks = math.gcd(self.npoint, max(1, self.npoint // 32))
+
         def sample_group(xyz_s, valid_s):
-            centers_idx = furthest_point_sample(xyz_s, valid_s, self.npoint)
+            centers_idx = furthest_point_sample(
+                xyz_s, valid_s, self.npoint, chunks=fps_chunks)
             centers = xyz_s[centers_idx]
             idx, mask = ball_query(centers, xyz_s, valid_s, self.radius, self.nsample)
             return centers_idx, centers, idx, mask

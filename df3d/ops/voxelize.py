@@ -87,18 +87,22 @@ def voxelize(
 
     feats_sorted = points[order]
     # seg ids NONDECREASING (cap-dropped points keep their segment id but
-    # contribute zero) so the segment reduce lowers to a sorted-scatter
+    # contribute zero) so the segment reduce lowers to a sorted-scatter.
+    # counts ride as an extra column of the SAME segment_sum — scatters
+    # cost ~7 ns/index on v5e, so one fused 260k scatter beats two.
     seg_id = jnp.minimum(voxel_id_sorted, max_voxels)
-    sums = jax.ops.segment_sum(
-        jnp.where(keep[:, None], feats_sorted, 0.0),
+    f = points.shape[1]
+    aug = jnp.concatenate(
+        [feats_sorted, jnp.ones((p, 1), feats_sorted.dtype)], axis=1
+    )
+    sums_aug = jax.ops.segment_sum(
+        jnp.where(keep[:, None], aug, 0.0),
         seg_id,
         num_segments=max_voxels + 1,
         indices_are_sorted=True,
     )[:max_voxels]
-    counts = jax.ops.segment_sum(
-        keep.astype(jnp.int32), seg_id, num_segments=max_voxels + 1,
-        indices_are_sorted=True,
-    )[:max_voxels]
+    sums = sums_aug[:, :f]
+    counts = sums_aug[:, f].astype(jnp.int32)
     features = sums / jnp.maximum(counts, 1)[:, None]
 
     # voxel coords: all rows of a voxel share identical coords, so writing

@@ -74,7 +74,7 @@ def main():
     # which a co-located serving host never pays; dispatches queue on the
     # device and the final fetch transitively forces them all)
     iters = 10
-    fps = 0.0
+    fps_runs = []
     for _ in range(2):  # best-of-2: the relay occasionally stalls a run
         t0 = time.perf_counter()
         outs = [infer(variables, points, valid) for _ in range(iters)]
@@ -83,13 +83,16 @@ def main():
             s += o["scores"].sum()
         float(s)
         dt = time.perf_counter() - t0
-        fps = max(fps, iters / dt)
+        fps_runs.append(round(iters / dt, 3))
+    fps = max(fps_runs)
 
     result = {
         "metric": "centerpoint_0075voxel_infer_fps_bs1",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 11.0, 3),
+        # both timing loops, so the best-of-2 choice is auditable (ADVICE r2)
+        "fps_runs": fps_runs,
     }
 
     # training throughput (driver-visible; guarded so a failure or slow

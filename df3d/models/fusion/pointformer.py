@@ -56,6 +56,7 @@ class LocalTransformer(nn.Module):
     nhead: int = 4
     feat_agg_method: str = "replace"  # 'replace' | 'sum'
     fps_chunks: int | None = None  # None = auto (~npoint/32); 1 = exact FPS
+    exact_ball: bool = False  # True = reference-exact ball query (parity)
 
     @nn.compact
     def __call__(self, xyz: jax.Array, features: jax.Array, valid: jax.Array):
@@ -72,7 +73,9 @@ class LocalTransformer(nn.Module):
             centers_idx = furthest_point_sample(
                 xyz_s, valid_s, self.npoint, chunks=fps_chunks)
             centers = xyz_s[centers_idx]
-            idx, mask = ball_query(centers, xyz_s, valid_s, self.radius, self.nsample)
+            idx, mask = ball_query(
+                centers, xyz_s, valid_s, self.radius, self.nsample,
+                exact=self.exact_ball)
             return centers_idx, centers, idx, mask
 
         centers_idx, centers, idx, mask = jax.vmap(sample_group)(xyz, valid)

@@ -81,13 +81,19 @@ def furthest_point_sample(
 
 def ball_query(
     centers: jax.Array, xyz: jax.Array, valid: jax.Array,
-    radius: float, k: int,
+    radius: float, k: int, exact: bool = False,
 ):
     """First-k-by-index neighbors within radius (pointnet2 ball_query).
 
     centers (S, 3), xyz (N, 3), valid (N,) -> (idx (S, k) int32, mask (S, k)).
     Slots beyond the neighbor count repeat the first neighbor (CUDA kernel
     behavior) and are flagged False in mask.
+
+    `exact=True` uses lax.top_k and matches the reference CUDA kernel's
+    first-k-by-index selection bit for bit — use it in checkpoint-parity
+    eval paths. The default approx path mirrors fps's chunks escape hatch:
+    ~10x cheaper on v5e but recall_target=0.97 can drop a true neighbor
+    even when <= k neighbors exist (ADVICE r2).
     """
     n = xyz.shape[0]
     d2 = pairwise_dist2(centers, xyz)
@@ -95,11 +101,13 @@ def ball_query(
     # first k by original index: smallest index wins. approx_max_k is ~10x
     # cheaper than exact top_k at (2048, 30k) scale (62 -> ~6 ms on v5e);
     # the reference CUDA kernel's "first k encountered" choice is equally
-    # arbitrary when more than k neighbors exist, and recall_target=0.97
-    # only rarely drops a true neighbor below k.
+    # arbitrary when more than k neighbors exist.
     rank = jnp.where(within, jnp.arange(n, dtype=jnp.int32)[None, :], n)
-    neg_topk, idx = jax.lax.approx_max_k(
-        -rank.astype(jnp.float32), k, recall_target=0.97)
+    if exact:
+        neg_topk, idx = jax.lax.top_k(-rank.astype(jnp.float32), k)
+    else:
+        neg_topk, idx = jax.lax.approx_max_k(
+            -rank.astype(jnp.float32), k, recall_target=0.97)
     found = -neg_topk < n
     first = idx[:, :1]
     idx = jnp.where(found, idx, first)

@@ -266,6 +266,24 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     # per-dim candidate count: o in [ceil((i+pad-ks+1)/s), floor((i+pad)/s)]
     # has at most ceil(ks/s) integers — enumerate those instead of all K taps
     ncand = tuple(-(-k // s) for k, s in zip(ksize, stride))
+    # Parity-plane safety (ADVICE r2): the occupancy scatter below indexes
+    # an extended grid of odim + ncand - 1 cells per dim with the floor-div
+    # cell o0 = (i + pad) // s of every VALID input i in [0, dim). If the
+    # largest o0 exceeds the extended extent, the flat pidx silently crosses
+    # into another parity plane's region and fabricates phantom occupied
+    # cells (mode='drop' only protects the final slot). True for every
+    # kernel/stride/pad combo used by the models (k3/s2 any pad, (3,1,1),
+    # (2,1,1)/p0) — fail loudly on any combo where it is not.
+    for d, (dim, k_, s_, p_, o_, c_) in enumerate(
+        zip((z, y, x), ksize, stride, padding,
+            (oz, oy, ox), ncand)
+    ):
+        assert not dense_out or (dim - 1 + p_) // s_ <= o_ + c_ - 2, (
+            f"build_conv_plan: dim {d}: kernel={k_} stride={s_} pad={p_} "
+            f"overflows the parity-plane extended grid "
+            f"({(dim - 1 + p_) // s_} > {o_ + c_ - 2}); this combo would "
+            "corrupt strided-plan occupancy"
+        )
     cand_list = [
         (az, ay, ax)
         for az in range(ncand[0]) for ay in range(ncand[1])

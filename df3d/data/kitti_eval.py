@@ -174,13 +174,16 @@ def clean_frame(gt, det, cls: str, difficulty: int):
 
 def compute_statistics(
     overlaps, det_scores, gt_status, det_status, dc_overlaps,
-    min_overlap, thresh, compute_fp,
+    min_overlap, thresh, compute_fp, gt_alphas=None, det_alphas=None,
 ):
-    """Official compute_statistics_jit semantics (minus AOS).
+    """Official compute_statistics_jit semantics, including AOS.
 
     overlaps (nd, ng); dc_overlaps (nd, n_dc) criterion-0 image overlap of
-    dets vs DontCare regions, or None (non-bbox metrics).
-    Returns (tp, fp, fn, tp_scores).
+    dets vs DontCare regions, or None (non-bbox metrics). gt_alphas (ng,) /
+    det_alphas (nd,) observation angles enable orientation similarity
+    accumulation (eval.py:168 compute_aos): each TP contributes
+    (1 + cos(gt_alpha - det_alpha)) / 2.
+    Returns (tp, fp, fn, tp_scores, similarity).
     """
     nd, ng = overlaps.shape
     assigned = np.zeros(nd, bool)
@@ -188,6 +191,7 @@ def compute_statistics(
         det_scores < thresh if compute_fp else np.zeros(nd, bool)
     )
     tp = fp = fn = 0
+    similarity = 0.0
     tp_scores = []
     for i in range(ng):
         if gt_status[i] == -1:
@@ -227,6 +231,10 @@ def compute_statistics(
         elif valid_detection != _NO_DET:
             tp += 1
             tp_scores.append(det_scores[det_idx])
+            if gt_alphas is not None and det_alphas is not None:
+                similarity += (
+                    1.0 + np.cos(gt_alphas[i] - det_alphas[det_idx])
+                ) / 2.0
             assigned[det_idx] = True
     if compute_fp:
         for j in range(nd):
@@ -242,7 +250,7 @@ def compute_statistics(
                         assigned[j] = True
                         nstuff += 1
             fp -= nstuff
-    return tp, fp, fn, tp_scores
+    return tp, fp, fn, tp_scores, similarity
 
 
 def get_thresholds(scores, num_gt, num_sample_pts=N_SAMPLE_PTS):
@@ -279,9 +287,17 @@ def _frame_overlaps(gt, det, metric):
 
 
 def eval_class(gt_annos, det_annos, cls: str, difficulty: int,
-               metric: str = "3d"):
-    """-> dict(ap=R40 AP %, precision curve, recall thresholds)."""
+               metric: str = "3d", compute_aos: bool = False):
+    """-> dict(ap=R40 AP %, precision curve, recall thresholds[, aos]).
+
+    compute_aos (bbox metric only, both annos carrying 'alpha') adds the
+    official orientation-similarity average (eval.py:168,237)."""
     min_ov = MIN_OVERLAP[cls]
+    compute_aos = (
+        compute_aos and metric == "bbox"
+        and all("alpha" in a for a in gt_annos)
+        and all("alpha" in a for a in det_annos)
+    )
     frames = []
     total_valid_gt = 0
     for gt, det in zip(gt_annos, det_annos):
@@ -295,49 +311,72 @@ def eval_class(gt_annos, det_annos, cls: str, difficulty: int,
                 np.asarray(det["bbox"]), np.asarray(dc_bboxes), criterion=0,
             )
         det_scores = np.asarray(det["score"])
-        frames.append((overlaps, det_scores, gt_status, det_status, dc_ov))
+        alphas = (
+            (np.asarray(gt["alpha"]), np.asarray(det["alpha"]))
+            if compute_aos else (None, None)
+        )
+        frames.append(
+            (overlaps, det_scores, gt_status, det_status, dc_ov, alphas))
         total_valid_gt += nvalid
 
     if total_valid_gt == 0:
-        return {"ap": 0.0, "precision": np.zeros(N_SAMPLE_PTS), "thresholds": []}
+        out = {"ap": 0.0, "precision": np.zeros(N_SAMPLE_PTS), "thresholds": []}
+        if compute_aos:
+            out["aos"] = 0.0
+        return out
 
     # pass 1: collect TP scores with no threshold
     tp_scores = []
-    for overlaps, sc, gst, dst, _ in frames:
-        _, _, _, tps = compute_statistics(
+    for overlaps, sc, gst, dst, _, _ in frames:
+        _, _, _, tps, _ = compute_statistics(
             overlaps, sc, gst, dst, None, min_ov, 0.0, compute_fp=False
         )
         tp_scores.extend(tps)
     thresholds = get_thresholds(np.asarray(tp_scores), total_valid_gt)
 
     precision = np.zeros(N_SAMPLE_PTS)
+    orientation = np.zeros(N_SAMPLE_PTS)
     for ti, th in enumerate(thresholds):
         tp = fp = fn = 0
-        for overlaps, sc, gst, dst, dc_ov in frames:
-            t, f, n, _ = compute_statistics(
-                overlaps, sc, gst, dst, dc_ov, min_ov, th, compute_fp=True
+        sim = 0.0
+        for overlaps, sc, gst, dst, dc_ov, (ga, da) in frames:
+            t, f, n, _, s = compute_statistics(
+                overlaps, sc, gst, dst, dc_ov, min_ov, th, compute_fp=True,
+                gt_alphas=ga, det_alphas=da,
             )
             tp += t
             fp += f
             fn += n
+            sim += s
         precision[ti] = tp / max(tp + fp, 1)
+        orientation[ti] = sim / max(tp + fp, 1)
     # right-max smoothing
     for i in range(N_SAMPLE_PTS - 2, -1, -1):
         precision[i] = max(precision[i], precision[i + 1])
+        orientation[i] = max(orientation[i], orientation[i + 1])
 
     # R40: average precision at 40 points (skip the first)
     ap = precision[1:].sum() / 40.0 * 100.0
-    return {"ap": ap, "precision": precision, "thresholds": thresholds}
+    out = {"ap": ap, "precision": precision, "thresholds": thresholds}
+    if compute_aos:
+        out["aos"] = orientation[1:].sum() / 40.0 * 100.0
+    return out
 
 
-def evaluate_kitti(gt_annos, det_annos, classes=("Car",), metrics=("3d", "bev")):
-    """-> {class: {metric: [AP easy, AP moderate, AP hard]}}"""
+def evaluate_kitti(gt_annos, det_annos, classes=("Car",),
+                   metrics=("3d", "bev"), compute_aos: bool = False):
+    """-> {class: {metric: [AP easy, AP moderate, AP hard]}}; with
+    compute_aos and a 'bbox' metric, adds an 'aos' entry per class."""
     out = {}
     for cls in classes:
         out[cls] = {}
         for metric in metrics:
-            out[cls][metric] = [
-                eval_class(gt_annos, det_annos, cls, d, metric)["ap"]
+            res = [
+                eval_class(gt_annos, det_annos, cls, d, metric,
+                           compute_aos=compute_aos)
                 for d in (0, 1, 2)
             ]
+            out[cls][metric] = [r["ap"] for r in res]
+            if compute_aos and metric == "bbox" and "aos" in res[0]:
+                out[cls]["aos"] = [r["aos"] for r in res]
     return out

@@ -45,7 +45,8 @@ class NuScenesDataset:
     """Info-pkl driven dataset (det3d-format infos_*_10sweeps_withvelo)."""
 
     def __init__(self, root, info_path, class_names=NUSC_CLASSES,
-                 nsweeps: int = 10, load_images: bool = False):
+                 nsweeps: int = 10, load_images: bool = False,
+                 image_shape: tuple[int, int] = (448, 800)):
         self.root = pathlib.Path(root)
         with open(info_path, "rb") as f:
             data = pickle.load(f)
@@ -53,6 +54,7 @@ class NuScenesDataset:
         self.class_names = tuple(class_names)
         self.nsweeps = nsweeps
         self.load_images = load_images
+        self.image_shape = tuple(image_shape)
 
     def __len__(self):
         return len(self.infos)
@@ -88,6 +90,14 @@ class NuScenesDataset:
                 paths.append(str(self.root / c["data_path"]))
             out["cam_projs"] = np.stack(projs)  # (6, 3, 4)
             out["cam_paths"] = paths
+            # runtime decode + resize/normalize/pad to the static
+            # image_shape, resize folded into the projections (det3d
+            # LoadPointCloudImageFromFile loading.py:199 + mmdet3d
+            # MyResize/MyNormalize/MyPad loading.py:10,306,348)
+            from df3d.data.images import load_camera_frame
+
+            out["images"], out["proj"] = load_camera_frame(
+                paths, out["cam_projs"], self.image_shape)
         return out
 
 

@@ -150,13 +150,13 @@ def test_matching_pass_semantics():
     gt_status = np.array([0], np.int32)
     det_status = np.array([0, 0], np.int32)
 
-    tp, fp, fn, tps = KE.compute_statistics(
+    tp, fp, fn, tps, _ = KE.compute_statistics(
         overlaps, scores, gt_status, det_status, None,
         min_overlap=0.7, thresh=0.0, compute_fp=False,
     )
     assert tp == 1 and tps == [np.float32(0.9)]  # highest score wins pass 1
 
-    tp, fp, fn, tps = KE.compute_statistics(
+    tp, fp, fn, tps, _ = KE.compute_statistics(
         overlaps, scores, gt_status, det_status, None,
         min_overlap=0.7, thresh=0.0, compute_fp=True,
     )

@@ -32,6 +32,18 @@ def height_compress(st: SparseTensor) -> jnp.ndarray:
     return dense.transpose(0, 2, 3, 1, 4).reshape(b, y, x, z * c)
 
 
+
+def _sow_overflow(mod: nn.Module, name: str, plan) -> None:
+    """Record strided-plan cap overflow (true dilated occupancy minus the
+    static cap) as an `intermediates` sow. Reference spconv never truncates
+    (TransFusion/mmdet3d/ops/spconv/src/indice.cc allocates dynamically);
+    a positive value here flags output sites the static cap silently
+    dropped — fetch with mutable=["intermediates"] (trainer logs it)."""
+    if plan.true_occ is not None:
+        mod.sow("intermediates", f"cap_overflow_{name}",
+                jnp.maximum(plan.true_occ - plan.num_out_rows, 0))
+
+
 class SpMiddleResNetFHD(nn.Module):
     """det3d resnet-style middle encoder. 8x BEV downsample + z-collapse.
 
@@ -54,20 +66,23 @@ class SpMiddleResNetFHD(nn.Module):
         x_conv1 = SparseBasicBlock(c1, name="res1b")(x, plan1, train)
 
         down2 = build_conv_plan(x_conv1, 3, 2, 1, max_out=n2)
+        _sow_overflow(self, "down2", down2)
         x = SparseConvBNReLU(c2, subm=False, name="down2")(x_conv1, down2, train)
         plan2 = build_subm_plan(x, 3)
         x = SparseBasicBlock(c2, name="res2a")(x, plan2, train)
         x_conv2 = SparseBasicBlock(c2, name="res2b")(x, plan2, train)
 
         down3 = build_conv_plan(x_conv2, 3, 2, 1, max_out=n3)
+        _sow_overflow(self, "down3", down3)
         x = SparseConvBNReLU(c3, subm=False, name="down3")(x_conv2, down3, train)
-        plan3 = build_subm_plan(x, 3)
+        plan3 = build_subm_plan(x, 3, with_x3=3 * c3 <= 128)
         x = SparseBasicBlock(c3, name="res3a")(x, plan3, train)
         x_conv3 = SparseBasicBlock(c3, name="res3b")(x, plan3, train)
 
         down4 = build_conv_plan(x_conv3, 3, 2, (0, 1, 1), max_out=n4)
+        _sow_overflow(self, "down4", down4)
         x = SparseConvBNReLU(c4, subm=False, name="down4")(x_conv3, down4, train)
-        plan4 = build_subm_plan(x, 3)
+        plan4 = build_subm_plan(x, 3, with_x3=3 * c4 <= 128)
         x = SparseBasicBlock(c4, name="res4a")(x, plan4, train)
         x_conv4 = SparseBasicBlock(c4, name="res4b")(x, plan4, train)
 
@@ -78,6 +93,7 @@ class SpMiddleResNetFHD(nn.Module):
             )
 
         extra = build_conv_plan(x_conv4, (3, 1, 1), (2, 1, 1), 0, max_out=n4)
+        _sow_overflow(self, "out", extra)
         out = SparseConvBNReLU(c4, subm=False, name="extra_conv")(x_conv4, extra, train)
 
         bev = height_compress(out)
@@ -120,10 +136,13 @@ class SparseEncoder(nn.Module):
                 if last and i != len(self.encoder_channels) - 1:
                     pad = (0, 1, 1) if i == 2 else 1
                     down = build_conv_plan(x, 3, 2, pad, max_out=caps[i])
+                    _sow_overflow(self, f"down{i+2}", down)
                     x = SparseConvBNReLU(
                         ch, subm=False, name=f"stage{i}_down"
                     )(x, down, train)
-                    plan = build_subm_plan(x, 3)
+                    plan = build_subm_plan(
+                        x, 3,
+                        with_x3=3 * self.encoder_channels[i + 1][0] <= 128)
                 else:
                     x = SparseBasicBlock(ch, name=f"stage{i}_block{j}")(
                         x, plan, train
@@ -134,6 +153,7 @@ class SparseEncoder(nn.Module):
             x = self.fusion_hook(self, stage_outs, train, **(fusion_kwargs or {}))
 
         out_plan = build_conv_plan(x, (3, 1, 1), (2, 1, 1), 0, max_out=n4)
+        _sow_overflow(self, "out", out_plan)
         out = SparseConvBNReLU(self.output_channels, subm=False, name="conv_out")(
             x, out_plan, train
         )
@@ -165,20 +185,23 @@ class VoxelBackBone8x(nn.Module):
             )
 
         down2 = build_conv_plan(x_conv1, 3, 2, 1, max_out=n2)
+        _sow_overflow(self, "down2", down2)
         x = SparseConvBNReLU(c2, subm=False, name="down2")(x_conv1, down2, train)
         plan2 = build_subm_plan(x, 3)
         x = SparseConvBNReLU(c2, subm=True, name="conv2a")(x, plan2, train)
         x_conv2 = SparseConvBNReLU(c2, subm=True, name="conv2b")(x, plan2, train)
 
         down3 = build_conv_plan(x_conv2, 3, 2, 1, max_out=n3)
+        _sow_overflow(self, "down3", down3)
         x = SparseConvBNReLU(c3, subm=False, name="down3")(x_conv2, down3, train)
-        plan3 = build_subm_plan(x, 3)
+        plan3 = build_subm_plan(x, 3, with_x3=3 * c3 <= 128)
         x = SparseConvBNReLU(c3, subm=True, name="conv3a")(x, plan3, train)
         x_conv3 = SparseConvBNReLU(c3, subm=True, name="conv3b")(x, plan3, train)
 
         down4 = build_conv_plan(x_conv3, 3, 2, (0, 1, 1), max_out=n4)
+        _sow_overflow(self, "down4", down4)
         x = SparseConvBNReLU(c4, subm=False, name="down4")(x_conv3, down4, train)
-        plan4 = build_subm_plan(x, 3)
+        plan4 = build_subm_plan(x, 3, with_x3=3 * c4 <= 128)
         x = SparseConvBNReLU(c4, subm=True, name="conv4a")(x, plan4, train)
         x_conv4 = SparseConvBNReLU(c4, subm=True, name="conv4b")(x, plan4, train)
 
@@ -188,6 +211,7 @@ class VoxelBackBone8x(nn.Module):
             )
 
         out_plan = build_conv_plan(x_conv4, (3, 1, 1), (2, 1, 1), 0, max_out=n4)
+        _sow_overflow(self, "out", out_plan)
         out = SparseConvBNReLU(self.out_channels, subm=False, name="conv_out")(
             x_conv4, out_plan, train
         )

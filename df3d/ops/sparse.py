@@ -133,6 +133,22 @@ def _rank_to_row(rank, keys, n, rows_sorted):
     return order_pad[jnp.minimum(rank, n)]
 
 
+# x3 plan packing: bits 0..23 anchor row (rank of the x-CENTER cell among
+# the input's active cells), bit 24/25/26 = tap dx=-1/0/+1 valid. Anchor
+# range [0, N_in] must fit 24 bits.
+_X3_ANCHOR_BITS = 24
+_X3_ANCHOR_MASK = (1 << _X3_ANCHOR_BITS) - 1
+
+# Debug/probe kill-switch for the whole x-triple machinery (plan builders
+# skip x3 emission, apply_sparse_conv takes the flat path).
+X3_ENABLED = True
+
+
+def set_x3_enabled(flag: bool) -> None:
+    global X3_ENABLED
+    X3_ENABLED = flag
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ConvPlan:
@@ -142,13 +158,29 @@ class ConvPlan:
     changes the TPU tiling (T(1024) -> T(8,128)) and measured ~30 ms at
     nuScenes scale — and the conv body consumes flat indices anyway.
     Reusable across layers with identical coords — the analog of spconv's
-    indice_key."""
+    indice_key.
+
+    `x3` (round 3): when the kernel's x extent is 3 and input rows are
+    key-sorted, the three x-adjacent taps of every (dz, dy) group land on
+    CONSECUTIVE input rows (consecutive integer keys -> consecutive ranks),
+    so the conv body can serve each group with ONE single-row gather from a
+    width-3C "triple table" instead of three — 3.1x faster at stage-1 scale
+    (tools/probes/r3_probe1.py). x3 is (B, G, N_out) int32, G = K/3 groups
+    in (dz, dy) row-major order, packing the group's anchor row a = rank of
+    the center cell (present taps sit at rows a-1 / a / a+hit(center)) plus
+    the three tap-valid bits; see _X3_ANCHOR_BITS."""
 
     gather_idx: jax.Array  # (B, K*N_out) int32 in [0, N_in], tap-major
     out_coords: jax.Array  # (B, N_out, 3) int32
     out_spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     kernel_size: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     out_rows_sorted: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    x3: jax.Array | None = None  # (B, K/3, N_out) int32 packed, or None
+    # strided plans: TRUE dilated output occupancy per sample BEFORE the
+    # static cap (spconv never truncates — indice.cc allocates dynamically;
+    # this makes df3d's cap overflow observable: overflow = max(0,
+    # true_occ - N_out); see CLAUDE.md stage-cap fidelity note)
+    true_occ: jax.Array | None = None  # (B,) int32, or None (subm plans)
 
     @property
     def num_taps(self) -> int:
@@ -175,7 +207,31 @@ def _centered_offsets(ksize):
     ]
 
 
-def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
+def _x3_from_tap_rows(rows_t, n):
+    """Pack the x3 plan from per-tap row vectors (list of K (N,) int32,
+    x-fastest tap order). The 3 x-adjacent taps of a group hold consecutive
+    ranks, so the anchor a (rows sit at a-1 / a / a+hit(center)) recovers
+    as r1, else r2 (rank(k+1) == rank(k) when the center is absent), else
+    r0 + 1. Pure VPU ops — no gathers, no reshapes of big flat arrays."""
+    x3_g = []
+    for gi in range(len(rows_t) // 3):
+        r0, r1, r2 = rows_t[3 * gi], rows_t[3 * gi + 1], rows_t[3 * gi + 2]
+        m0 = (r0 < n).astype(jnp.int32)
+        m1 = (r1 < n).astype(jnp.int32)
+        m2 = (r2 < n).astype(jnp.int32)
+        anchor = jnp.where(
+            m1 == 1, r1,
+            jnp.where(m2 == 1, r2, jnp.where(m0 == 1, r0 + 1, n)))
+        x3_g.append(
+            anchor
+            | (m0 << _X3_ANCHOR_BITS)
+            | (m1 << (_X3_ANCHOR_BITS + 1))
+            | (m2 << (_X3_ANCHOR_BITS + 2))
+        )
+    return jnp.stack(x3_g)  # (K/3, N)
+
+
+def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
     """Submanifold plan: output sites = input sites; neighbor at tap k is
     input site + k - (ksize-1)//2.
 
@@ -196,6 +252,17 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
 
     cells = z * y * x
     use_bitrank = _use_bitrank(st.batch_size, cells)
+    # x-triple plans: derived from the per-tap row vectors by pure VPU
+    # arithmetic (rows of each (dz, dy) group are consecutive ranks under
+    # the sorted-rows invariant — see ConvPlan.x3 and _derive_x3). A
+    # lookup3-based builder (one extended-row gather per group) was probed
+    # and LOSES in-model: its 45-word masked-popcount finish doesn't
+    # pipeline (r3 probe 2: 32.6 vs 12.4 ms at stage-1 scale).
+    # with_x3=False skips the derivation (27 static slices + packing,
+    # ~+2.5 ms at 120k) — callers pass False for stages whose channel
+    # count forces the flat conv body anyway (3*cin > 128).
+    use_x3 = (X3_ENABLED and with_x3 and use_bitrank and st.rows_sorted
+              and ksize[2] == 3 and n <= _X3_ANCHOR_MASK)
 
     def one(coords, keys, valid):
         cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
@@ -221,23 +288,38 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
             rows = _lookup(
                 keys[order], jnp.where(ok, q, _INT_MAX - 1), order, n
             )
-        return rows
+        x3 = None
+        if use_x3:
+            # derive from STATIC slices of the flat rows — per-tap lookup
+            # calls break the one-big-gather pipeline (49 ms vs 12 at st1
+            # scale, r3 probe 2b) and a (K*N,)->(K,N) reshape retiles
+            segs = [
+                jax.lax.slice(rows, (t * n,), ((t + 1) * n,))
+                for t in range(k_total)
+            ]
+            x3 = _x3_from_tap_rows(segs, n)
+        return rows, x3
 
     # python-unrolled over the (small) batch: vmap's gather batching rule
     # rewrites the transposed-output gather off XLA:TPU's fast path
     # (measured 4x slower at nuScenes scale)
     keys_all, valid_all = st.keys(), st.valid
-    gather = jnp.stack([
+    outs = [
         one(st.coords[b], keys_all[b], valid_all[b])
         for b in range(st.batch_size)
-    ])
+    ]
+    gather = jnp.stack([o[0] for o in outs])
+    x3 = jnp.stack([o[1] for o in outs]) if use_x3 else None
     # materialize: without the barrier XLA fuses the rulebook build into
     # every consumer conv's gather-index computation, re-running the table
     # lookups once per layer that shares the plan
-    gather = jax.lax.optimization_barrier(gather)
+    if x3 is None:
+        gather = jax.lax.optimization_barrier(gather)
+    else:
+        gather, x3 = jax.lax.optimization_barrier((gather, x3))
     return ConvPlan(
         gather, st.coords, st.spatial_shape, ksize,
-        out_rows_sorted=st.rows_sorted,
+        out_rows_sorted=st.rows_sorted, x3=x3,
     )
 
 
@@ -262,6 +344,8 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     k_count = ksize[0] * ksize[1] * ksize[2]
     cells_out = oz * oy * ox
     dense_out = _use_bitrank(st.batch_size, cells_out)
+    use_x3 = (X3_ENABLED and dense_out and st.rows_sorted and ksize[2] == 3
+              and n <= _X3_ANCHOR_MASK)
 
     # per-dim candidate count: o in [ceil((i+pad-ks+1)/s), floor((i+pad)/s)]
     # has at most ceil(ks/s) integers — enumerate those instead of all K taps
@@ -385,12 +469,18 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             # the output cell exactly (resid construction).
             first_r = jnp.full((max_out,), n, jnp.int32)
             first_k = jnp.zeros((max_out,), jnp.int32)
+            segs = []
             for t in range(k_count):
                 seg = jax.lax.dynamic_slice_in_dim(
                     gidx, t * max_out, max_out)
+                segs.append(seg)
                 found = (seg < n) & (first_r == n)
                 first_r = jnp.where(found, seg, first_r)
                 first_k = jnp.where(found, t, first_k)
+
+            # x3 plan from the per-tap segments (see _x3_from_tap_rows /
+            # ConvPlan.x3)
+            x3_rows = _x3_from_tap_rows(segs, n) if use_x3 else None
             ovalid = first_r < n
             in_key = jnp.concatenate(
                 [keys, jnp.array([0], jnp.int32)])[jnp.minimum(first_r, n)]
@@ -406,7 +496,9 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
                 ovalid[:, None],
                 jnp.stack([oz_, oy_, ox_], -1).astype(jnp.int32), -1,
             )
-            return gidx, out_coords  # stays FLAT (K*max_out,)
+            true_occ = occ4.sum(dtype=jnp.int32)
+            # gidx stays FLAT (K*max_out,)
+            return gidx, out_coords, x3_rows, true_occ
 
         skey = jnp.sort(cand_key)
         first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
@@ -453,7 +545,8 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         q = jnp.stack(qs).reshape(-1)
         ok = jnp.stack(oks).reshape(-1)
         gidx = _lookup(skeys, jnp.where(ok, q, _INT_MAX - 1), order, n)
-        return gidx, out_coords  # stays FLAT (K*max_out,)
+        true_occ = first.sum(dtype=jnp.int32)  # uniques BEFORE the cap
+        return gidx, out_coords, None, true_occ  # stays FLAT (K*max_out,)
 
     # python-unrolled over the batch (see build_subm_plan)
     keys_all, valid_all = st.keys(), st.valid
@@ -463,9 +556,17 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     ]
     gather = jnp.stack([o[0] for o in outs])
     out_coords = jnp.stack([o[1] for o in outs])
-    gather, out_coords = jax.lax.optimization_barrier((gather, out_coords))
+    x3 = jnp.stack([o[2] for o in outs]) if use_x3 else None
+    true_occ = jnp.stack([o[3] for o in outs])
+    if x3 is None:
+        gather, out_coords = jax.lax.optimization_barrier(
+            (gather, out_coords))
+    else:
+        gather, out_coords, x3 = jax.lax.optimization_barrier(
+            (gather, out_coords, x3))
     return ConvPlan(
         gather, out_coords, (oz, oy, ox), ksize, out_rows_sorted=True,
+        x3=x3, true_occ=true_occ,
     )
 
 
@@ -504,6 +605,19 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
     k = plan.num_taps
     n_out = plan.gather_idx.shape[1] // k
 
+    # x-triple path (r3): one wide single-row gather serves the 3
+    # x-adjacent taps of each (dz, dy) group. v5e single-row gathers stay
+    # at the ~1.5-2.2 ns/row floor only while the row is <= 128 LANES
+    # (channels) — above that they fall off a cliff (192ch: 3.75 ns, 384ch:
+    # 8.2 ns; tools/probes/r3_probe1.py) — so full triples up to
+    # 3*cin <= 128. In-model A/B (r3 probe 2): triple 7.81 vs flat
+    # 12.75 ms for 2 chained stage-1 convs, down conv 2.62 vs 4.95; the
+    # (2C pair + 1C single) split for 64-ch stages LOSES (3.91 vs 3.12) —
+    # stages above 42 channels stay flat.
+    if X3_ENABLED and plan.x3 is not None and 3 * cin <= 128:
+        out = _conv_x3_triple(features, plan, weights, precision)
+        return out.astype(features.dtype)
+
     padded = jnp.concatenate(
         [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
     ).reshape(b * (n_in + 1), cin)
@@ -525,3 +639,71 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
         preferred_element_type=jnp.float32, precision=precision,
     )
     return out.astype(features.dtype)
+
+
+_DN_ROW = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+)
+
+
+def _x3_parts(plan):
+    """Unpack the x3 plan -> (anchor, m0, m1, m2), each (B, G, N_out)."""
+    x3 = plan.x3
+    anchor = x3 & _X3_ANCHOR_MASK
+    m0 = (x3 >> _X3_ANCHOR_BITS) & 1
+    m1 = (x3 >> (_X3_ANCHOR_BITS + 1)) & 1
+    m2 = (x3 >> (_X3_ANCHOR_BITS + 2)) & 1
+    return anchor, m0, m1, m2
+
+
+def _group_weights(weights, g_cnt, cin, cout):
+    """(K, Cin, Cout) row-major taps -> (G, 3*Cin, Cout) x-triple groups."""
+    return weights.reshape(g_cnt, 3, cin, cout).reshape(g_cnt, 3 * cin, cout)
+
+
+def _conv_x3_triple(features, plan, weights, precision):
+    """3*cin <= 128: gather (3C,)-wide rows from the shifted-concat triple
+    table at the group anchors; one grouped GEMM.
+
+    Present taps sit at rows a-1 / a / a+hit(center): the +1 tap reads
+    subblock 2 normally but subblock 1 when the center cell is ABSENT
+    (rank(k+1) == rank(k) then) — handled by a per-row select into block 2.
+    Of the masking forms probed (r3 probe 5, st2 shape): this select-3C
+    form costs 3.02 ms vs 7.50 for a 4th-correction-block operand and 4.79
+    for the flat 27-tap body; the pure gather+einsum floor is 1.70."""
+    b, n_in, cin = features.shape
+    _, g_cnt, n_out = plan.x3.shape
+    cout = weights.shape[-1]
+    anchor, m0, m1, m2 = _x3_parts(plan)
+    dt = features.dtype
+
+    pad = jnp.zeros((b, 1, cin), dt)
+    padded = jnp.concatenate([pad, features, pad, pad], axis=1)  # (B, N+3, C)
+    triple = jnp.concatenate(
+        [padded[:, :-2], padded[:, 1:-1], padded[:, 2:]], axis=-1
+    )  # (B, N_in+1, 3C); row r = [f[r-1], f[r], f[r+1]]
+    triple = jax.lax.optimization_barrier(triple)
+
+    idx = anchor + (
+        jnp.arange(b, dtype=jnp.int32) * (n_in + 1)
+    )[:, None, None]
+    g = jax.lax.gather(
+        triple.reshape(b * (n_in + 1), 3 * cin), idx.reshape(-1, 1),
+        _DN_ROW, slice_sizes=(1, 3 * cin), mode="clip",
+    ).reshape(b, g_cnt, n_out, 3 * cin)
+
+    g1 = g[..., cin:2 * cin]
+    operand = jnp.concatenate(
+        [g[..., :cin] * m0.astype(dt)[..., None],
+         g1 * m1.astype(dt)[..., None],
+         jnp.where((m1 == 1)[..., None], g[..., 2 * cin:], g1)
+         * m2.astype(dt)[..., None]],
+        axis=-1,
+    )  # (B, G, N, 3C)
+    w3 = _group_weights(weights, g_cnt, cin, cout)
+    return jnp.einsum(
+        "bgnc,gcd->bnd", operand, w3,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+

@@ -19,7 +19,11 @@ Methodology per CLAUDE.md: in-graph fori chains, runtime-zero perturbation
 into the indices, scalar fetch, (T - RTT)/ITERS.
 """
 
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
 import numpy as np
 

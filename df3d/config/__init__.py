@@ -1,2 +1,4 @@
-from .config import Config, load_config, merge_overrides  # noqa: F401
+from .config import (  # noqa: F401
+    Config, apply_preset_overrides, load_config, merge_overrides,
+)
 from .presets import PRESETS, get_preset  # noqa: F401

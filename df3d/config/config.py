@@ -70,6 +70,48 @@ def _parse_value(s: str) -> Any:
         return s
 
 
+def apply_preset_overrides(preset, overrides: list[str]):
+    """Apply `--set a.b.c=value` dot-path overrides onto a PRESET — a typed
+    dataclass (CenterPointConfig, ...) or a dict of them (fused presets:
+    {'lidar': ..., 'actr': ..., 'num_cams': ...}). The dataclass analog of
+    merge_overrides / pcdet cfg_from_list. Values parse as YAML; lists
+    coerce to tuples when the field they replace is a tuple; unknown paths
+    raise KeyError."""
+    import dataclasses
+
+    def set_path(obj, parts, value):
+        if not parts:
+            if isinstance(obj, tuple) and isinstance(value, list):
+                return tuple(value)
+            return value
+        head = parts[0]
+        if isinstance(obj, dict):
+            if head not in obj:
+                raise KeyError(f"override path {head!r} not in {sorted(obj)}")
+            out = dict(obj)
+            out[head] = set_path(obj[head], parts[1:], value)
+            return out
+        if dataclasses.is_dataclass(obj):
+            if not hasattr(obj, head):
+                raise KeyError(
+                    f"override path {head!r} not a field of "
+                    f"{type(obj).__name__}"
+                )
+            return dataclasses.replace(
+                obj, **{head: set_path(getattr(obj, head), parts[1:], value)}
+            )
+        raise KeyError(
+            f"cannot descend into {type(obj).__name__} at {head!r}"
+        )
+
+    for kv in overrides:
+        if "=" not in kv:
+            raise ValueError(f"--set expects key=value, got {kv!r}")
+        key, val = kv.split("=", 1)
+        preset = set_path(preset, key.split("."), _parse_value(val))
+    return preset
+
+
 def merge_overrides(cfg: Config, overrides: Mapping[str, str] | list[str]) -> Config:
     """Apply dot-path overrides: ['model.head.nms_thresh=0.2', ...] or a
     mapping. Mirrors pcdet cfg_from_list / mmcv DictAction."""

@@ -133,6 +133,35 @@ def proposal_layer(cfg: VoxelRCNNConfig, preds, anchors, train: bool):
     return jax.vmap(one)(boxes, score)
 
 
+def voxel_rcnn_post_processing(cfg: VoxelRCNNConfig, rois, roi_scores,
+                               roi_mask, rcnn_cls, rcnn_reg):
+    """Final-stage post-processing (pcdet detector3d_template.py
+    post_processing, VoxelRCNN test config): refine proposals with the RCNN
+    regression, score with sigmoid(rcnn_cls) (class-agnostic IoU-guided
+    score), rotated NMS, score threshold.
+
+    rois (B, R, 7); rcnn_cls (B, R, 1); rcnn_reg (B, R, 7).
+    Returns dict boxes (B, F, 7), scores (B, F), labels (B, F), valid
+    (B, F) with F = cfg.final_max_boxes.
+    """
+    boxes = decode_rcnn_boxes(rois, rcnn_reg)
+    scores = jax.nn.sigmoid(rcnn_cls[..., 0]) * roi_mask
+
+    def one(b, s):
+        idx, keep = NMS.nms_bev(
+            b, s, cfg.final_nms_thresh, b.shape[0], cfg.final_max_boxes
+        )
+        return b[idx], s[idx] * keep, keep
+
+    fb, fs, keep = jax.vmap(one)(boxes, scores)
+    valid = keep & (fs > cfg.score_thresh)
+    # single-class (Car) unless multi-class anchors are configured; the
+    # class-agnostic head carries no per-class logits, so the label is the
+    # proposal's anchor class (0 for the car-only target config)
+    labels = jnp.zeros(fs.shape, jnp.int32)
+    return {"boxes": fb, "scores": fs, "labels": labels, "valid": valid}
+
+
 def voxel_rcnn_train_losses(
     cfg: VoxelRCNNConfig, preds, rcnn_out, targets_rpn, rcnn_targets,
 ):

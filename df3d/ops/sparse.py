@@ -133,12 +133,6 @@ def _rank_to_row(rank, keys, n, rows_sorted):
     return order_pad[jnp.minimum(rank, n)]
 
 
-# x3 plan packing: bits 0..23 anchor row (rank of the x-CENTER cell among
-# the input's active cells), bit 24/25/26 = tap dx=-1/0/+1 valid. Anchor
-# range [0, N_in] must fit 24 bits.
-_X3_ANCHOR_BITS = 24
-_X3_ANCHOR_MASK = (1 << _X3_ANCHOR_BITS) - 1
-
 # Debug/probe kill-switch for the whole x-triple machinery (plan builders
 # skip x3 emission, apply_sparse_conv takes the flat path).
 X3_ENABLED = True
@@ -165,17 +159,21 @@ class ConvPlan:
     CONSECUTIVE input rows (consecutive integer keys -> consecutive ranks),
     so the conv body can serve each group with ONE single-row gather from a
     width-3C "triple table" instead of three — 3.1x faster at stage-1 scale
-    (tools/probes/r3_probe1.py). x3 is (B, G, N_out) int32, G = K/3 groups
-    in (dz, dy) row-major order, packing the group's anchor row a = rank of
-    the center cell (present taps sit at rows a-1 / a / a+hit(center)) plus
-    the three tap-valid bits; see _X3_ANCHOR_BITS."""
+    (tools/probes/r3_probe1.py). x3 is a tuple (anchor int32, m0, m1, m2
+    float32), each (B, G, N_out) with G = K/3 groups in (dz, dy) row-major
+    order: anchor = rank of the center cell (present taps sit at rows
+    a-1 / a / a+hit(center)), m* = tap-valid multiplier masks. Stored as
+    SEPARATE plain arrays, not packed bits: extracting bits from one packed
+    array after the barrier relayouts against the conv's gather output and
+    cost +15 ms per stage in-model (r3 probes 8/8b) — multiplier-ready
+    arrays reproduce the exact probed-fast form (r3 probe 5 V4)."""
 
     gather_idx: jax.Array  # (B, K*N_out) int32 in [0, N_in], tap-major
     out_coords: jax.Array  # (B, N_out, 3) int32
     out_spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     kernel_size: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     out_rows_sorted: bool = dataclasses.field(default=False, metadata=dict(static=True))
-    x3: jax.Array | None = None  # (B, K/3, N_out) int32 packed, or None
+    x3: tuple | None = None  # (anchor i32, m0, m1, m2 f32) each (B, G, N)
     # strided plans: TRUE dilated output occupancy per sample BEFORE the
     # static cap (spconv never truncates — indice.cc allocates dynamically;
     # this makes df3d's cap overflow observable: overflow = max(0,
@@ -208,27 +206,22 @@ def _centered_offsets(ksize):
 
 
 def _x3_from_tap_rows(rows_t, n):
-    """Pack the x3 plan from per-tap row vectors (list of K (N,) int32,
+    """Build the x3 plan from per-tap row vectors (list of K (N,) int32,
     x-fastest tap order). The 3 x-adjacent taps of a group hold consecutive
     ranks, so the anchor a (rows sit at a-1 / a / a+hit(center)) recovers
     as r1, else r2 (rank(k+1) == rank(k) when the center is absent), else
-    r0 + 1. Pure VPU ops — no gathers, no reshapes of big flat arrays."""
-    x3_g = []
+    r0 + 1. Pure VPU ops — no gathers, no reshapes of big flat arrays.
+    Returns (anchor (G, N) int32, m0, m1, m2 (G, N) float32)."""
+    anchors, ms = [], ([], [], [])
     for gi in range(len(rows_t) // 3):
         r0, r1, r2 = rows_t[3 * gi], rows_t[3 * gi + 1], rows_t[3 * gi + 2]
-        m0 = (r0 < n).astype(jnp.int32)
-        m1 = (r1 < n).astype(jnp.int32)
-        m2 = (r2 < n).astype(jnp.int32)
-        anchor = jnp.where(
-            m1 == 1, r1,
-            jnp.where(m2 == 1, r2, jnp.where(m0 == 1, r0 + 1, n)))
-        x3_g.append(
-            anchor
-            | (m0 << _X3_ANCHOR_BITS)
-            | (m1 << (_X3_ANCHOR_BITS + 1))
-            | (m2 << (_X3_ANCHOR_BITS + 2))
-        )
-    return jnp.stack(x3_g)  # (K/3, N)
+        p0, p1, p2 = r0 < n, r1 < n, r2 < n
+        anchors.append(jnp.where(
+            p1, r1, jnp.where(p2, r2, jnp.where(p0, r0 + 1, n))))
+        for lst, pb in zip(ms, (p0, p1, p2)):
+            lst.append(pb.astype(jnp.float32))
+    return (jnp.stack(anchors), jnp.stack(ms[0]), jnp.stack(ms[1]),
+            jnp.stack(ms[2]))
 
 
 def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
@@ -262,7 +255,7 @@ def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
     # ~+2.5 ms at 120k) — callers pass False for stages whose channel
     # count forces the flat conv body anyway (3*cin > 128).
     use_x3 = (X3_ENABLED and with_x3 and use_bitrank and st.rows_sorted
-              and ksize[2] == 3 and n <= _X3_ANCHOR_MASK)
+              and ksize[2] == 3)
 
     def one(coords, keys, valid):
         cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
@@ -309,7 +302,10 @@ def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
         for b in range(st.batch_size)
     ]
     gather = jnp.stack([o[0] for o in outs])
-    x3 = jnp.stack([o[1] for o in outs]) if use_x3 else None
+    x3 = (
+        tuple(jnp.stack([o[1][j] for o in outs]) for j in range(4))
+        if use_x3 else None
+    )
     # materialize: without the barrier XLA fuses the rulebook build into
     # every consumer conv's gather-index computation, re-running the table
     # lookups once per layer that shares the plan
@@ -344,8 +340,8 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     k_count = ksize[0] * ksize[1] * ksize[2]
     cells_out = oz * oy * ox
     dense_out = _use_bitrank(st.batch_size, cells_out)
-    use_x3 = (X3_ENABLED and dense_out and st.rows_sorted and ksize[2] == 3
-              and n <= _X3_ANCHOR_MASK)
+    use_x3 = (X3_ENABLED and dense_out and st.rows_sorted
+              and ksize[2] == 3)
 
     # per-dim candidate count: o in [ceil((i+pad-ks+1)/s), floor((i+pad)/s)]
     # has at most ceil(ks/s) integers — enumerate those instead of all K taps
@@ -556,7 +552,10 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     ]
     gather = jnp.stack([o[0] for o in outs])
     out_coords = jnp.stack([o[1] for o in outs])
-    x3 = jnp.stack([o[2] for o in outs]) if use_x3 else None
+    x3 = (
+        tuple(jnp.stack([o[2][j] for o in outs]) for j in range(4))
+        if use_x3 else None
+    )
     true_occ = jnp.stack([o[3] for o in outs])
     if x3 is None:
         gather, out_coords = jax.lax.optimization_barrier(
@@ -648,12 +647,7 @@ _DN_ROW = jax.lax.GatherDimensionNumbers(
 
 def _x3_parts(plan):
     """Unpack the x3 plan -> (anchor, m0, m1, m2), each (B, G, N_out)."""
-    x3 = plan.x3
-    anchor = x3 & _X3_ANCHOR_MASK
-    m0 = (x3 >> _X3_ANCHOR_BITS) & 1
-    m1 = (x3 >> (_X3_ANCHOR_BITS + 1)) & 1
-    m2 = (x3 >> (_X3_ANCHOR_BITS + 2)) & 1
-    return anchor, m0, m1, m2
+    return plan.x3
 
 
 def _group_weights(weights, g_cnt, cin, cout):
@@ -672,11 +666,17 @@ def _conv_x3_triple(features, plan, weights, precision):
     form costs 3.02 ms vs 7.50 for a 4th-correction-block operand and 4.79
     for the flat 27-tap body; the pure gather+einsum floor is 1.70."""
     b, n_in, cin = features.shape
-    _, g_cnt, n_out = plan.x3.shape
-    cout = weights.shape[-1]
     anchor, m0, m1, m2 = _x3_parts(plan)
+    _, g_cnt, n_out = anchor.shape
+    cout = weights.shape[-1]
     dt = features.dtype
 
+    # materialize the input FIRST: the triple build reads `padded` via
+    # three shifted slices, and XLA re-runs a fused producer once per
+    # consumer — without this barrier the upstream BN/ReLU/residual chain
+    # is recomputed 3x per conv (r3 probe 6: +12 ms per x3-active stage
+    # in-model while every isolated-conv A/B won)
+    features = jax.lax.optimization_barrier(features)
     pad = jnp.zeros((b, 1, cin), dt)
     padded = jnp.concatenate([pad, features, pad, pad], axis=1)  # (B, N+3, C)
     triple = jnp.concatenate(
@@ -696,7 +696,7 @@ def _conv_x3_triple(features, plan, weights, precision):
     operand = jnp.concatenate(
         [g[..., :cin] * m0.astype(dt)[..., None],
          g1 * m1.astype(dt)[..., None],
-         jnp.where((m1 == 1)[..., None], g[..., 2 * cin:], g1)
+         jnp.where((m1 > 0.5)[..., None], g[..., 2 * cin:], g1)
          * m2.astype(dt)[..., None]],
         axis=-1,
     )  # (B, G, N, 3C)

@@ -73,7 +73,7 @@ def make_centerpoint_train_step(model: CenterPoint, cfg: CenterPointConfig) -> C
     return train_step
 
 
-def make_voxelrcnn_train_step(model, head, cfg) -> Callable:
+def make_voxelrcnn_train_step(model, head, cfg, fused: bool = False) -> Callable:
     """Two-stage Voxel R-CNN train step: RPN targets/loss + proposal NMS +
     ROI sampling + RCNN head/loss (pcdet train_one_epoch semantics).
 
@@ -83,6 +83,10 @@ def make_voxelrcnn_train_step(model, head, cfg) -> Callable:
     BatchNorm, matching pcdet's Linear+BN1d stacks). The train step takes
     (state, batch, rng) — rng drives the ROI subsampler (the reference
     uses torch's global RNG there).
+
+    `fused=True` drives a VoxelRCNN3DDF model instead: the batch must also
+    carry images (B, n_cam, H, W, 3) + proj (B, n_cam, 3, 4), forwarded to
+    the fused detector's signature (images feed the ACTR hook).
     """
     from df3d.models.detectors.voxel_rcnn import (
         assign_rpn_targets, build_anchors, proposal_layer,
@@ -105,10 +109,13 @@ def make_voxelrcnn_train_step(model, head, cfg) -> Callable:
         )
 
         def loss_fn(params):
+            fwd_args = (res.features, res.coords)
+            if fused:
+                fwd_args = fwd_args + (batch["images"], batch["proj"])
             preds, updates = model.apply(
                 {"params": params["rpn"],
                  "batch_stats": state.batch_stats["rpn"]},
-                res.features, res.coords, train=True, mutable=["batch_stats"],
+                *fwd_args, train=True, mutable=["batch_stats"],
             )
             rois, roi_scores, roi_mask = proposal_layer(
                 cfg, preds, anchors, train=True
@@ -228,12 +235,19 @@ def make_fused_train_step(model, lidar_cfg) -> Callable:
 
 
 def make_centerpoint_eval_step(model: CenterPoint, cfg: CenterPointConfig,
-                               tta: str | None = None) -> Callable:
+                               tta: str | None = None,
+                               fused: bool = False) -> Callable:
     """Eval step; tta='double_flip' evaluates each sample as
     [id, flip_y, flip_x, flip_both] (batch x4), un-flips and averages the
     head maps before decoding — the det3d CenterPoint TTA path
-    (CenterPoint/det3d/models/bbox_heads/center_head.py:327-423)."""
+    (CenterPoint/det3d/models/bbox_heads/center_head.py:327-423).
+
+    fused=True drives CenterPoint3DDF: batch carries images/proj. TTA is
+    lidar-side flips; the flipped lidar would disagree with the unflipped
+    camera projections, so fused+tta is rejected (matching the reference,
+    which never combines them)."""
     assert tta in (None, "double_flip"), tta
+    assert not (fused and tta), "double-flip TTA is lidar-only"
 
     def eval_step(state: TrainState, batch):
         points, valid = batch["points"], batch["points_valid"]
@@ -248,12 +262,83 @@ def make_centerpoint_eval_step(model: CenterPoint, cfg: CenterPointConfig,
             cfg.pc_range, cfg.grid_size, cfg.max_voxels,
             cfg.max_points_per_voxel,
         )
+        fwd = (res.features, res.coords)
+        if fused:
+            fwd = fwd + (batch["images"], batch["proj"])
         preds, _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            res.features, res.coords, train=False,
+            *fwd, train=False,
         )
         if tta == "double_flip":
             preds = merge_center_head_maps(preds)
         return centerpoint_predict(cfg, preds)
+
+    return eval_step
+
+
+def make_transfusion_eval_step(model, cfg, fused: bool = False) -> Callable:
+    """TransFusion(-L / -3DDF) eval step -> dict boxes/scores/labels/valid
+    (mmdet3d simple_test -> get_bboxes semantics)."""
+    from df3d.models.detectors.transfusion import transfusion_predict
+
+    def eval_step(state: TrainState, batch):
+        res = voxelize_batch(
+            batch["points"], batch["points_valid"], cfg.voxel_size,
+            cfg.pc_range, cfg.grid_size, cfg.max_voxels,
+            cfg.max_points_per_voxel,
+        )
+        fwd = (res.features, res.coords)
+        if fused:
+            fwd = fwd + (batch["images"], batch["proj"])
+        preds, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            *fwd, train=False,
+        )
+        out = transfusion_predict(cfg, preds)
+        if "valid" not in out:
+            out["valid"] = jnp.ones(out["scores"].shape, bool)
+        return out
+
+    return eval_step
+
+
+def make_voxelrcnn_eval_step(model, head, cfg, fused: bool = False) -> Callable:
+    """Two-stage Voxel R-CNN eval step (pcdet eval_one_epoch inner loop):
+    RPN -> proposals -> RCNN refine -> post_processing. Also returns the
+    raw proposals (`rois`, `roi_mask`) so the eval loop can log recall
+    records a la pcdet generate_recall_record
+    (VoxelRCNN/pcdet/models/detectors/detector3d_template.py:287)."""
+    from df3d.models.detectors.voxel_rcnn import (
+        build_anchors, proposal_layer, voxel_rcnn_post_processing,
+    )
+
+    anchors = build_anchors(cfg)
+
+    def eval_step(state: TrainState, batch):
+        res = voxelize_batch(
+            batch["points"], batch["points_valid"], cfg.voxel_size,
+            cfg.pc_range, cfg.grid_size, cfg.max_voxels,
+            cfg.max_points_per_voxel,
+        )
+        fwd = (res.features, res.coords)
+        if fused:
+            fwd = fwd + (batch["images"], batch["proj"])
+        preds = model.apply(
+            {"params": state.params["rpn"],
+             "batch_stats": state.batch_stats["rpn"]},
+            *fwd, train=False,
+        )
+        rois, roi_scores, roi_mask = proposal_layer(
+            cfg, preds, anchors, train=False)
+        cls, reg = head.apply(
+            {"params": state.params["rcnn"],
+             "batch_stats": state.batch_stats["rcnn"]},
+            rois, roi_mask, preds["ms"], train=False,
+        )
+        out = voxel_rcnn_post_processing(
+            cfg, rois, roi_scores, roi_mask, cls, reg)
+        out["rois"] = rois
+        out["roi_mask"] = roi_mask
+        return out
 
     return eval_step

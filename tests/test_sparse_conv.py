@@ -240,7 +240,7 @@ def test_x3_triple_path_matches_dense():
     st = _random_sparse(rng, rows_sorted=True)
     w = jnp.asarray(rng.randn(27, 5, 7).astype(np.float32) * 0.1)
     plan = build_subm_plan(st, 3)
-    assert plan.x3 is not None and plan.x3.shape[1] == 9
+    assert plan.x3 is not None and plan.x3[0].shape[1] == 9
     out = apply_sparse_conv(st.features, plan, w)
     ref = _dense_conv(st.to_dense(), w, (3, 3, 3), 1, 1)
     _check_against_dense(st.coords, out, ref)

@@ -1,11 +1,19 @@
 #!/usr/bin/env python
-"""df3d evaluation CLI (counterpart of the reference tools/test.py /
-dist_test.py / eval_utils.eval_one_epoch).
+"""df3d evaluation CLI — ALL families (counterpart of the reference's three
+eval stacks: VoxelRCNN/tools/eval_utils/eval_utils.py:22-126 eval_one_epoch,
+CenterPoint tools/dist_test.py, TransFusion tools/test.py):
+
+  * centerpoint_nusc / centerpoint_3ddf_nusc    -> nuScenes mAP/NDS
+  * transfusion_l_nusc / transfusion_3ddf_nusc  -> nuScenes mAP/NDS
+  * voxel_rcnn_car_kitti / voxel_rcnn_3ddf_kitti -> KITTI 3d/bev/bbox AP +
+    AOS + proposal/final recall records at 0.3/0.5/0.7 IoU
+    (detector3d_template.py:287 generate_recall_record)
 
   python tools/test.py --preset centerpoint_nusc --data-root ... \
-      --info-path infos_val.pkl --ckpt work_dirs/cp/ckpt [--watch]
+      --info-path infos_val.pkl --ckpt work_dirs/cp/ckpt [--watch] [--tta ..]
 
---watch polls the checkpoint dir for new checkpoints (repeat_eval_ckpt).
+Fused presets decode real camera JPEGs through the runtime image pipeline
+(df3d/data/images.py). --watch polls the checkpoint dir (repeat_eval_ckpt).
 """
 
 from __future__ import annotations
@@ -17,7 +25,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import argparse
 import json
-import pathlib
 import time
 
 
@@ -29,47 +36,202 @@ def parse_args():
     p.add_argument("--ckpt", required=True)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--max-points", type=int, default=260_000)
+    p.add_argument("--image-shape", type=int, nargs=2, default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--tta", choices=["double_flip"], default=None,
                    help="test-time augmentation (det3d double-flip)")
+    p.add_argument("--set", nargs="*", default=[], dest="overrides")
     p.add_argument("--watch", action="store_true")
     p.add_argument("--max-waiting-mins", type=int, default=30)
     return p.parse_args()
 
 
-def evaluate_once(args, cfg, state_dir):
+def build_eval(args, preset):
+    """-> (state_template, eval_step, lidar_cfg, family, fused_extra)."""
+    import jax
+    import jax.numpy as jnp
+
+    from df3d.models.detectors.centerpoint import CenterPoint, CenterPointConfig
+    from df3d.models.detectors.fused import (
+        CenterPoint3DDF, FusedConfig, TransFusion3DDF, VoxelRCNN3DDF,
+    )
+    from df3d.models.detectors.transfusion import (
+        TransFusionConfig, TransFusionL,
+    )
+    from df3d.models.detectors.voxel_rcnn import VoxelRCNN, VoxelRCNNConfig
+    from df3d.models.heads.voxelrcnn_head import VoxelRCNNHead
+    from df3d.ops.voxelize import voxelize_batch
+    from df3d.train.schedules import adam_onecycle
+    from df3d.train.trainer import (
+        TrainState, make_centerpoint_eval_step, make_transfusion_eval_step,
+        make_voxelrcnn_eval_step,
+    )
+
+    tx = adam_onecycle(1e-3, 1)
+    rng = jax.random.PRNGKey(0)
+    fused = isinstance(preset, dict)
+    lidar_cfg = preset["lidar"] if fused else preset
+
+    example_pts = jnp.zeros((1, 4096, lidar_cfg.num_point_features))
+    res = voxelize_batch(
+        example_pts, jnp.ones(example_pts.shape[:2], bool),
+        lidar_cfg.voxel_size, lidar_cfg.pc_range, lidar_cfg.grid_size,
+        lidar_cfg.max_voxels, lidar_cfg.max_points_per_voxel,
+    )
+
+    fused_extra = None
+    fwd_extra = ()
+    if fused:
+        num_cams = preset.get("num_cams", 1)
+        image_shape = tuple(args.image_shape or (448, 800))
+        fused_extra = (num_cams, image_shape)
+        fcfg = FusedConfig(
+            image_shape=image_shape, actr=preset["actr"],
+            n_levels=preset["actr"].n_levels, num_cams=num_cams,
+            image_branch="resnet_fpn"
+            if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3",
+        )
+        images = jnp.zeros((1, num_cams, *image_shape, 3))
+        proj = jnp.zeros((1, num_cams, 3, 4))
+        if num_cams == 1:
+            images, proj = images[:, 0], proj[:, 0]
+        fwd_extra = (images, proj)
+
+    if isinstance(lidar_cfg, VoxelRCNNConfig):
+        model = (VoxelRCNN3DDF(lidar_cfg, fcfg) if fused
+                 else VoxelRCNN(lidar_cfg))
+        v_rpn = model.init(
+            rng, res.features, res.coords, *fwd_extra, train=False)
+        head = VoxelRCNNHead(
+            lidar_cfg.rcnn, lidar_cfg.voxel_size, lidar_cfg.pc_range)
+        preds = model.apply(
+            v_rpn, res.features, res.coords, *fwd_extra, train=False)
+        rois = jnp.zeros(
+            (1, lidar_cfg.rcnn.roi_per_image, 7)).at[..., 3:6].set(1.0)
+        v_rcnn = head.init(
+            jax.random.PRNGKey(1), rois,
+            jnp.ones((1, lidar_cfg.rcnn.roi_per_image), bool), preds["ms"],
+            train=False,
+        )
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params={"rpn": v_rpn["params"], "rcnn": v_rcnn["params"]},
+            tx=tx,
+            batch_stats={"rpn": v_rpn["batch_stats"],
+                         "rcnn": v_rcnn["batch_stats"]},
+        )
+        step = make_voxelrcnn_eval_step(model, head, lidar_cfg, fused=fused)
+        return state, step, lidar_cfg, "voxelrcnn", fused_extra
+
+    if isinstance(lidar_cfg, CenterPointConfig):
+        model = (CenterPoint3DDF(lidar_cfg, fcfg) if fused
+                 else CenterPoint(lidar_cfg))
+        family = "centerpoint"
+        mk = lambda m: make_centerpoint_eval_step(
+            m, lidar_cfg, tta=args.tta, fused=fused)
+    elif isinstance(lidar_cfg, TransFusionConfig):
+        model = (TransFusion3DDF(lidar_cfg, fcfg) if fused
+                 else TransFusionL(lidar_cfg))
+        family = "transfusion"
+        mk = lambda m: make_transfusion_eval_step(m, lidar_cfg, fused=fused)
+    else:
+        raise SystemExit(f"unsupported preset type {type(lidar_cfg)}")
+    variables = model.init(
+        rng, res.features, res.coords, *fwd_extra, train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables["batch_stats"],
+    )
+    return state, mk(model), lidar_cfg, family, fused_extra
+
+
+def build_dataset(args, fused_extra):
+    is_kitti = args.preset.endswith("_kitti")
+    if is_kitti:
+        from df3d.data.kitti import KittiDataset
+
+        return KittiDataset(
+            args.data_root, args.info_path, training=False,
+            load_images=bool(fused_extra),
+            image_shape=fused_extra[1] if fused_extra else (384, 1280),
+        ), True
+    from df3d.data.nuscenes import NuScenesDataset
+
+    return NuScenesDataset(
+        args.data_root, args.info_path,
+        load_images=bool(fused_extra),
+        image_shape=fused_extra[1] if fused_extra else (448, 800),
+    ), False
+
+
+def evaluate_once(args, preset, state_dir):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from df3d.data.nuscenes import NUSC_CLASSES, NuScenesDataset
-    from df3d.data.nuscenes_eval import evaluate_nuscenes
     from df3d.data.pipeline import PrefetchLoader, make_batch
     from df3d.train.checkpoint import restore_latest
-    from df3d.train.schedules import adam_onecycle
-    from df3d.train.trainer import (
-        create_centerpoint_state, make_centerpoint_eval_step,
-    )
 
-    dataset = NuScenesDataset(args.data_root, args.info_path)
-    model, state = create_centerpoint_state(
-        cfg, jax.random.PRNGKey(0), adam_onecycle(1e-3, 1),
-        jnp.zeros((1, args.max_points, cfg.num_point_features)),
-    )
-    state, step = restore_latest(state_dir, state)
+    state, eval_step, cfg, family, fused_extra = build_eval(args, preset)
+    state, step_no = restore_latest(state_dir, state)
     if state is None:
         raise SystemExit(f"no checkpoint in {state_dir}")
-    eval_step = jax.jit(make_centerpoint_eval_step(model, cfg, tta=args.tta))
+    eval_step = jax.jit(eval_step)
+
+    dataset, is_kitti = build_dataset(args, fused_extra)
+
+    def collate(samples):
+        if fused_extra:
+            from df3d.data.images import finalize_camera_sample
+
+            samples = [
+                finalize_camera_sample(s, fused_extra[1])
+                if "image" in s and "images" not in s else s
+                for s in samples
+            ]
+        batch = make_batch(
+            samples, args.max_points, 500, cfg.num_point_features)
+        if fused_extra:
+            batch["images"] = np.stack([s["images"] for s in samples])
+            batch["proj"] = np.stack([s["proj"] for s in samples])
+            if fused_extra[0] == 1:  # single-cam models take (B, H, W, 3)
+                batch["images"] = batch["images"][:, 0]
+                batch["proj"] = batch["proj"][:, 0]
+        return batch, samples
 
     loader = PrefetchLoader(
         dataset, args.batch_size, shuffle=False, drop_last=False,
-        collate=lambda s: make_batch(
-            s, args.max_points, 500, cfg.num_point_features
-        ),
+        collate=collate,
     )
+
+    if is_kitti:
+        metrics = _eval_kitti_loop(
+            args, cfg, state, eval_step, loader, dataset, family)
+    else:
+        metrics = _eval_nusc_loop(args, cfg, state, eval_step, loader)
+    metrics["step"] = step_no
+    print(json.dumps(
+        {k: v for k, v in metrics.items()
+         if isinstance(v, (int, float, str))} |
+        {"preset": args.preset}, default=float))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
+    return step_no
+
+
+def _eval_nusc_loop(args, cfg, state, eval_step, loader):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from df3d.data.nuscenes import NUSC_CLASSES
+    from df3d.data.nuscenes_eval import evaluate_nuscenes
+
     gt_frames, det_frames = [], []
-    for bi, batch in enumerate(loader):
-        out = eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+    for batch, samples in loader:
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = eval_step(state, arrays)
         out = jax.tree_util.tree_map(np.asarray, out)
         for i in range(out["boxes"].shape[0]):
             v = out["valid"][i]
@@ -83,26 +245,102 @@ def evaluate_once(args, cfg, state_dir):
                 "boxes": batch["gt_boxes"][i][gv],
                 "names": np.asarray(NUSC_CLASSES)[batch["gt_classes"][i][gv]],
             })
-    metrics = evaluate_nuscenes(gt_frames, det_frames, NUSC_CLASSES)
-    print(json.dumps({"step": step, "mAP": metrics["mAP"], "NDS": metrics["NDS"]}))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(metrics, f, indent=2, default=float)
-    return step
+    m = evaluate_nuscenes(gt_frames, det_frames, NUSC_CLASSES)
+    return {"mAP": m["mAP"], "NDS": m["NDS"], "detail": m}
+
+
+def _eval_kitti_loop(args, cfg, state, eval_step, loader, dataset, family):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from df3d.data.kitti import (
+        camera_box_to_lidar, lidar_boxes_to_kitti_annos, recall_counts,
+    )
+    from df3d.data.kitti_eval import evaluate_kitti
+
+    class_names = tuple(dataset.class_names)
+    gt_annos, det_annos = [], []
+    recall = {}
+    for batch, samples in loader:
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = eval_step(state, arrays)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        for i, s in enumerate(samples):
+            v = out["valid"][i]
+            det = lidar_boxes_to_kitti_annos(
+                out["boxes"][i][v][:, :7], out["scores"][i][v],
+                out["labels"][i][v], s["calib"], s["image_shape"],
+                class_names,
+            )
+            det_annos.append(det)
+
+            # gt annos straight from the dataset's raw KITTI fields, plus
+            # lidar-frame boxes for the 3d/bev overlap metrics
+            raw = s.get("annos_raw", {})
+            names = np.asarray(raw.get("name", np.zeros((0,), "<U32")))
+            cam = (
+                np.concatenate(
+                    [raw["location"], raw["dimensions"],
+                     raw["rotation_y"][..., None]], axis=1)
+                if len(names) else np.zeros((0, 7), np.float32)
+            )
+            gt_annos.append({
+                "name": names,
+                "bbox": np.asarray(raw.get("bbox", np.zeros((0, 4)))),
+                "occluded": np.asarray(
+                    raw.get("occluded", np.zeros(len(names)))),
+                "truncated": np.asarray(
+                    raw.get("truncated", np.zeros(len(names)))),
+                "alpha": np.asarray(raw.get("alpha", np.zeros(len(names)))),
+                "boxes_lidar": camera_box_to_lidar(cam, s["calib"])
+                if len(names) else np.zeros((0, 7), np.float32),
+            })
+
+            # recall records (pcdet generate_recall_record)
+            gt_lidar = s.get("gt_boxes", np.zeros((0, 7), np.float32))
+            stages = {"final": out["boxes"][i][v][:, :7]}
+            if "rois" in out:
+                stages["roi"] = out["rois"][i][out["roi_mask"][i]]
+            for stage, boxes in stages.items():
+                rc = recall_counts(boxes, gt_lidar)
+                for k2, v2 in rc.items():
+                    key = k2 if k2 == "gt" and stage == "final" else (
+                        None if k2 == "gt" else f"{stage}_{k2}")
+                    if key:
+                        recall[key] = recall.get(key, 0) + v2
+
+    res = evaluate_kitti(
+        gt_annos, det_annos, classes=class_names,
+        metrics=("3d", "bev", "bbox"), compute_aos=True,
+    )
+    flat = {}
+    for cls, per in res.items():
+        for metric, aps in per.items():
+            for d, name in enumerate(("easy", "moderate", "hard")):
+                flat[f"{cls}_{metric}_{name}"] = aps[d]
+    ngt = max(recall.get("gt", 0), 1)
+    for k, v in recall.items():
+        if k != "gt":
+            flat[k] = v / ngt
+    flat["detail"] = res
+    return flat
 
 
 def main():
     args = parse_args()
 
-    from df3d.config import get_preset
+    from df3d.config import apply_preset_overrides, get_preset
 
-    cfg = get_preset(args.preset)
+    preset = get_preset(args.preset)
+    if args.overrides:
+        preset = apply_preset_overrides(preset, args.overrides)
     ckpt_dir = pathlib.Path(args.ckpt)
     last_step = -1
     waited = 0.0
     while True:
         try:
-            step = evaluate_once(args, cfg, ckpt_dir)
+            step = evaluate_once(args, preset, ckpt_dir)
             if step == last_step and not args.watch:
                 break
             last_step = step

@@ -133,17 +133,53 @@ def build_model_and_step(args, preset):
             image_branch="resnet_fpn"
             if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3",
         )
+        images = jnp.zeros((1, num_cams, *image_shape, 3))
+        proj = jnp.zeros((1, num_cams, 3, 4))
+        if isinstance(lidar_cfg, VoxelRCNNConfig):
+            # two-stage fused step (VoxelRCNN3DDF): RPN fwd carries images
+            model = VoxelRCNN3DDF(lidar_cfg, fcfg)
+            # single-cam KITTI model takes (B, H, W, 3)
+            im1 = images[:, 0] if num_cams == 1 else images
+            pr1 = proj[:, 0] if num_cams == 1 else proj
+            v_rpn = model.init(
+                rng, res.features, res.coords, im1, pr1, train=False)
+            head = VoxelRCNNHead(
+                lidar_cfg.rcnn, lidar_cfg.voxel_size, lidar_cfg.pc_range)
+            preds = model.apply(
+                v_rpn, res.features, res.coords, im1, pr1, train=False)
+            rois = jnp.zeros(
+                (1, lidar_cfg.rcnn.roi_per_image, 7)).at[..., 3:6].set(1.0)
+            v_rcnn = head.init(
+                jax.random.PRNGKey(1), rois,
+                jnp.ones((1, lidar_cfg.rcnn.roi_per_image), bool),
+                preds["ms"], train=False,
+            )
+            state = TrainState.create(
+                apply_fn=model.apply,
+                params={"rpn": v_rpn["params"], "rcnn": v_rcnn["params"]},
+                tx=tx,
+                batch_stats={"rpn": v_rpn["batch_stats"],
+                             "rcnn": v_rcnn["batch_stats"]},
+            )
+            base = make_voxelrcnn_train_step(model, head, lidar_cfg,
+                                             fused=True)
+
+            def step(state, batch):
+                if num_cams == 1 and batch["images"].ndim == 5:
+                    batch = dict(
+                        batch, images=batch["images"][:, 0],
+                        proj=batch["proj"][:, 0])
+                return base(
+                    state, batch,
+                    jax.random.fold_in(jax.random.PRNGKey(7), state.step),
+                )
+            return state, step, lidar_cfg, (num_cams, image_shape)
         if isinstance(lidar_cfg, CenterPointConfig):
             model = CenterPoint3DDF(lidar_cfg, fcfg)
         elif isinstance(lidar_cfg, TransFusionConfig):
             model = TransFusion3DDF(lidar_cfg, fcfg)
         else:
-            raise SystemExit(
-                "fused VoxelRCNN training needs the two-stage step; use the "
-                "library API (VoxelRCNN3DDF + make_voxelrcnn_train_step)"
-            )
-        images = jnp.zeros((1, num_cams, *image_shape, 3))
-        proj = jnp.zeros((1, num_cams, 3, 4))
+            raise SystemExit(f"unsupported fused host {type(lidar_cfg)}")
         variables = model.init(
             rng, res.features, res.coords, images, proj, train=False
         )
@@ -208,12 +244,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from df3d.config import get_preset
+    from df3d.config import apply_preset_overrides, get_preset
     from df3d.data.pipeline import PrefetchLoader, make_batch
     from df3d.parallel.mesh import batch_sharding, make_mesh, replicated
     from df3d.train.loop import Runner
 
     preset = get_preset(args.preset)
+    if args.overrides:
+        preset = apply_preset_overrides(preset, args.overrides)
     state, train_step, lidar_cfg, fused_extra = build_model_and_step(
         args, preset
     )
@@ -226,16 +264,39 @@ def main():
             image_shape=fused_extra[1] if fused_extra else None,
         )
         max_points = args.synthetic_points
+    elif args.preset.endswith("_kitti"):
+        from df3d.data.kitti import KittiDataset
+
+        dataset = KittiDataset(
+            args.data_root, args.info_path,
+            load_images=bool(fused_extra),
+            image_shape=fused_extra[1] if fused_extra else (384, 1280),
+        )
+        max_points = args.max_points
     else:
         from df3d.data.nuscenes import NuScenesDataset
 
-        dataset = NuScenesDataset(args.data_root, args.info_path)
+        dataset = NuScenesDataset(
+            args.data_root, args.info_path,
+            load_images=bool(fused_extra),
+            image_shape=fused_extra[1] if fused_extra else (448, 800),
+        )
         max_points = args.max_points
 
     # gt padding must not exceed the model's target-assignment capacity
     max_gt = min(args.max_gt, getattr(lidar_cfg, "max_objs", args.max_gt))
 
     def collate(samples):
+        if fused_extra:
+            from df3d.data.images import finalize_camera_sample
+
+            # KITTI emits raw 'image' (paste-augmentable); finalize to the
+            # static fused layout here, post-augmentation
+            samples = [
+                finalize_camera_sample(s, fused_extra[1])
+                if "image" in s and "images" not in s else s
+                for s in samples
+            ]
         batch = make_batch(
             samples, max_points, max_gt, lidar_cfg.num_point_features
         )

@@ -49,11 +49,19 @@ class SpMiddleResNetFHD(nn.Module):
 
     stage_caps: static max voxel counts after each downsample (4 entries:
     input/conv1, conv2, conv3, conv4). extra_conv output reuses conv4 cap.
-    """
+
+    dense_tail=True switches stage 4 (+extra_conv) to the dense-grid
+    representation (ops/dense3d.py): at (6,180,180)x128 the MXU dense conv
+    beats the sparse gather floor AND the down4/extra plans vanish — with
+    EXACT uncapped spconv dilation semantics (the n4/extra cap-truncation
+    fidelity risk disappears; r3 probes 10/11). Parameters are identical
+    either way. ms["conv4"] is then a DenseTensor unless a fusion hook
+    needs the sparse view (sparsified on demand)."""
 
     num_input_features: int
     stage_caps: Sequence[int]
     fusion_hook: Optional[Callable] = None
+    dense_tail: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool, fusion_kwargs=None):
@@ -78,6 +86,34 @@ class SpMiddleResNetFHD(nn.Module):
         plan3 = build_subm_plan(x, 3, with_x3=3 * c3 <= 128)
         x = SparseBasicBlock(c3, name="res3a")(x, plan3, train)
         x_conv3 = SparseBasicBlock(c3, name="res3b")(x, plan3, train)
+
+        if self.dense_tail:
+            from df3d.ops.dense3d import (
+                DenseConvSpec, bev_from_dense, densify, sparsify,
+            )
+
+            dt = densify(x_conv3)
+            spec_d4 = DenseConvSpec((3, 3, 3), (2, 2, 2), (0, 1, 1))
+            x = SparseConvBNReLU(c4, subm=False, name="down4")(dt, spec_d4, train)
+            spec_s = DenseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1))
+            x = SparseBasicBlock(c4, name="res4a")(x, spec_s, train)
+            x_conv4 = SparseBasicBlock(c4, name="res4b")(x, spec_s, train)
+
+            if self.fusion_hook is not None:
+                x_conv4_sp = sparsify(x_conv4, n4)
+                x_conv4_sp = self.fusion_hook(
+                    self, [x_conv2, x_conv3, x_conv4_sp], train,
+                    **(fusion_kwargs or {}),
+                )
+                x_conv4 = densify(x_conv4_sp)
+
+            spec_x = DenseConvSpec((3, 1, 1), (2, 1, 1), (0, 0, 0))
+            out = SparseConvBNReLU(c4, subm=False, name="extra_conv")(
+                x_conv4, spec_x, train)
+            return bev_from_dense(out), {
+                "conv1": x_conv1, "conv2": x_conv2, "conv3": x_conv3,
+                "conv4": x_conv4,
+            }
 
         down4 = build_conv_plan(x_conv3, 3, 2, (0, 1, 1), max_out=n4)
         _sow_overflow(self, "down4", down4)

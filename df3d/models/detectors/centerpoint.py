@@ -38,6 +38,9 @@ class CenterPointConfig:
     num_point_features: int = 5
     # backbone caps after each downsample stage (per sample)
     stage_caps: tuple = (120_000, 90_000, 60_000, 30_000)
+    # stage-4 dense-grid tail (see SpMiddleResNetFHD.dense_tail): faster on
+    # the MXU and removes the down4/extra cap truncation entirely
+    dense_tail: bool = True
     # head
     tasks: tuple = (1, 2, 2, 1, 2, 2)  # nuScenes 6-task split
     out_size_factor: int = 8
@@ -80,7 +83,7 @@ class CenterPoint(nn.Module):
         caps = tuple(min(c, voxel_features.shape[1]) for c in self.cfg.stage_caps)
         bev, ms = SpMiddleResNetFHD(
             self.cfg.num_point_features, caps, fusion_hook=self.fusion_hook,
-            name="backbone"
+            dense_tail=self.cfg.dense_tail, name="backbone"
         )(st, train, fusion_kwargs)
         bev = BEVBackbone(
             layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),

@@ -41,6 +41,10 @@ class FusedConfig:
     mvx_early: bool = True
     use_ifat: bool = True
     fusion_downsample: int = 8
+    # aux image-FG seg head over the first image scale (ref SemanticSeg/
+    # aux_seg_loss.py AuxImgSegmentLoss:20); logits surface via
+    # sow("intermediates", "aux_seg_logits") for make_fused_train_step
+    with_aux_seg: bool = False
 
 
 class ImageBranch(nn.Module):
@@ -72,6 +76,11 @@ class VoxelRCNN3DDF(nn.Module):
         image_feats = ImageBranch(self.fused, name="image_branch")(images, train)
         if self.fused.freeze_image_branch:
             image_feats = [jax.lax.stop_gradient(f) for f in image_feats]
+        if self.fused.with_aux_seg:
+            from df3d.models.fusion.aux_heads import AuxSegHead
+
+            self.sow("intermediates", "aux_seg_logits",
+                     AuxSegHead(name="aux_seg")(image_feats[0]))
         spec = ACTRFusionSpec(
             actr=self.fused.actr, downsample=self.fused.fusion_downsample,
             use_ifat=self.fused.use_ifat, mvx_early=self.fused.mvx_early,
@@ -103,6 +112,11 @@ class CenterPoint3DDF(nn.Module):
         feats = ImageBranch(self.fused, name="image_branch")(flat, train)
         if self.fused.freeze_image_branch:
             feats = [jax.lax.stop_gradient(f) for f in feats]
+        if self.fused.with_aux_seg:
+            from df3d.models.fusion.aux_heads import AuxSegHead
+
+            self.sow("intermediates", "aux_seg_logits",
+                     AuxSegHead(name="aux_seg")(feats[0]))
         feats = [f.reshape(b, nc, *f.shape[1:]) for f in feats]
         spec = ACTRFusionSpec(
             actr=self.fused.actr, downsample=self.fused.fusion_downsample,
@@ -132,6 +146,11 @@ class TransFusion3DDF(nn.Module):
         feats = ImageBranch(self.fused, name="image_branch")(flat, train)
         if self.fused.freeze_image_branch:
             feats = [jax.lax.stop_gradient(f) for f in feats]
+        if self.fused.with_aux_seg:
+            from df3d.models.fusion.aux_heads import AuxSegHead
+
+            self.sow("intermediates", "aux_seg_logits",
+                     AuxSegHead(name="aux_seg")(feats[0]))
         feats = [f.reshape(b, nc, *f.shape[1:]) for f in feats]
         spec = ACTRFusionSpec(
             actr=self.fused.actr, downsample=self.fused.fusion_downsample,

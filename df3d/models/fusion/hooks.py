@@ -118,6 +118,11 @@ def make_actr_fusion_hook(spec: ACTRFusionSpec, voxel_size, pc_range,
             train=train,
         )
         enh = nn.Dense(st.features.shape[-1], name="actr_out_proj")(enh)
+        # surface the fusion-point pair for the aux consistency loss
+        # (aux_losses.aux_consistency_loss; ref AuxConsistencyLoss:181) —
+        # collected only when the caller mutates "intermediates"
+        parent.sow("intermediates", "aux_consistency",
+                   (st.features, enh * mask[..., None], mask))
         if spec.fuse_sum:
             return st.with_features(st.features + enh * mask[..., None])
         return st.with_features(
@@ -177,7 +182,11 @@ def make_multicam_actr_fusion_hook(spec: ACTRFusionSpec, voxel_size, pc_range,
         )
         enh = nn.Dense(c, name="actr_out_proj")(enh)
         enh = (enh * mask_f[..., None]).reshape(b, num_cams, n, c)
+        enh_sum = enh.sum(axis=1)
+        parent.sow("intermediates", "aux_consistency",
+                   (st.features, enh_sum,
+                    mask.reshape(b, num_cams, n).any(axis=1)))
         # sum contributions across cameras (det3d sum-scatter :369-377)
-        return st.with_features(st.features + enh.sum(axis=1))
+        return st.with_features(st.features + enh_sum)
 
     return hook

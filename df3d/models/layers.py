@@ -62,32 +62,54 @@ def _kaiming_taps(key, shape, dtype=jnp.float32):
 
 
 class SubMConv3d(nn.Module):
-    """Submanifold sparse conv (weights only; plan supplied by caller so it
-    can be shared across the layers of a stage, like spconv's indice_key)."""
+    """Submanifold conv (weights only; plan supplied by caller so it can be
+    shared across the layers of a stage, like spconv's indice_key).
+
+    Polymorphic over the backbone-tail representation: a SparseTensor +
+    ConvPlan runs the gather-GEMM body; a dense3d.DenseTensor +
+    DenseConvSpec runs a plain XLA conv masked to the active set. The
+    parameter tree ((K, Cin, Cout) kernel) is IDENTICAL either way, so
+    checkpoints and torch importers never see the representation."""
 
     out_channels: int
     kernel_size: int = 3
 
     @nn.compact
-    def __call__(self, st: SparseTensor, plan: ConvPlan) -> SparseTensor:
+    def __call__(self, st, plan):
+        from df3d.ops.dense3d import DenseTensor, dense_conv
+
         k = plan.num_taps
         w = self.param(
             "kernel", _kaiming_taps, (k, st.features.shape[-1], self.out_channels)
         )
+        if isinstance(st, DenseTensor):
+            return dense_conv(
+                st, w, plan.ksize, stride=1,
+                padding=tuple(kk // 2 for kk in plan.ksize), subm=True,
+            )
         return st.with_features(apply_sparse_conv(st.features, plan, w))
 
 
 class SparseConv3d(nn.Module):
-    """Strided sparse conv; produces a new coord set (from plan.out_coords)."""
+    """Strided conv; produces a new coord set (from plan.out_coords), or on
+    the dense tail a new DenseTensor whose mask is the EXACT spconv
+    dilation of the input's (uncapped — see ops/dense3d.py)."""
 
     out_channels: int
 
     @nn.compact
-    def __call__(self, st: SparseTensor, plan: ConvPlan) -> SparseTensor:
+    def __call__(self, st, plan):
+        from df3d.ops.dense3d import DenseTensor, dense_conv
+
         k = plan.num_taps
         w = self.param(
             "kernel", _kaiming_taps, (k, st.features.shape[-1], self.out_channels)
         )
+        if isinstance(st, DenseTensor):
+            return dense_conv(
+                st, w, plan.ksize, stride=plan.stride,
+                padding=plan.padding, subm=False,
+            )
         feats = apply_sparse_conv(st.features, plan, w)
         return SparseTensor(
             feats, plan.out_coords, plan.out_spatial_shape,

@@ -27,6 +27,28 @@ def expand_points_double_flip(points: jax.Array) -> jax.Array:
     ).reshape(-1, *points.shape[1:])
 
 
+def expand_proj_double_flip(proj: jax.Array) -> jax.Array:
+    """(B, [n_cam,] 3, 4) -> (B*4, [n_cam,] 3, 4): compose the lidar-frame
+    reflection into the lidar->image matrices so the FLIPPED points project
+    onto the UNCHANGED camera images — P' @ (F @ x) == P @ x with F the
+    per-variant reflection. This is how fused models ride the det3d
+    double-flip TTA (the reference tracks pcd_*_flip in img_metas and
+    un-flips inside the projection, mmdet3d loading.py/point_fusion):
+    variant order matches expand_points_double_flip."""
+    mats = []
+    for sx, sy in ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)):
+        f = jnp.diag(jnp.asarray([sx, sy, 1.0, 1.0], proj.dtype))
+        mats.append(proj @ f)
+    return jnp.stack(mats, axis=1).reshape(-1, *proj.shape[1:])
+
+
+def expand_images_double_flip(images: jax.Array) -> jax.Array:
+    """(B, ...) -> (B*4, ...): images are IDENTICAL across the four lidar
+    flip variants (the cameras never move); repeat sample-major to align
+    with expand_points_double_flip's layout."""
+    return jnp.repeat(images, 4, axis=0)
+
+
 def merge_center_head_maps(preds: list[dict]) -> list[dict]:
     """Un-flip and average CenterHead maps predicted on a (B*4, H, W, C)
     batch -> (B, H, W, C) per task. Maps are channel-last."""

@@ -133,9 +133,14 @@ def _rank_to_row(rank, keys, n, rows_sorted):
     return order_pad[jnp.minimum(rank, n)]
 
 
-# Debug/probe kill-switch for the whole x-triple machinery (plan builders
-# skip x3 emission, apply_sparse_conv takes the flat path).
-X3_ENABLED = True
+# Kill-switch for the whole x-triple machinery (plan builders skip x3
+# emission, apply_sparse_conv takes the flat path). DEFAULT OFF: despite
+# winning every isolated probe (blocks 12.4 vs 24.8 ms, r3 probe 7), the
+# x3 path costs +23 ms IN-MODEL on the v5e (r3_probe9: 203.4 vs 180.4 ms
+# e2e) — an unexplained composition effect that survived the packed->tuple
+# plan refactor, producer barriers, and three bisect rounds. The machinery
+# stays (golden + gradient tested) for future re-probes.
+X3_ENABLED = False
 
 
 def set_x3_enabled(flag: bool) -> None:

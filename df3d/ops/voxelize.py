@@ -132,15 +132,24 @@ def voxelize_batch(
     max_voxels: int,
     max_points_per_voxel: int = 10,
 ) -> VoxelizationResult:
-    """vmapped voxelize over the leading batch dim: features (B, V, F),
+    """Per-sample voxelize over the leading batch dim: features (B, V, F),
     coords (B, V, 3). The batch axis stays explicit so it shards over the
-    data mesh with no cross-sample collectives."""
-    return jax.vmap(
-        lambda pts, v: voxelize(
-            pts, v, voxel_size, pc_range, grid_size, max_voxels,
-            max_points_per_voxel,
+    data mesh with no cross-sample collectives.
+
+    Python-unrolled, NOT vmapped: vmap rewrites the sort/scatter/gather
+    dimension numbers off XLA:TPU's fast paths (CLAUDE.md v5e rule 7) —
+    the voxelizer is scatter-bound, so the batched forms pay multiples."""
+    outs = [
+        voxelize(
+            points[i], valid[i], voxel_size, pc_range, grid_size,
+            max_voxels, max_points_per_voxel,
         )
-    )(points, valid)
+        for i in range(points.shape[0])
+    ]
+    return VoxelizationResult(*[
+        jnp.stack([getattr(o, f) for o in outs])
+        for f in VoxelizationResult._fields
+    ])
 
 
 def dynamic_voxelize(points, valid, voxel_size, pc_range, grid_size):

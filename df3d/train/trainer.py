@@ -187,16 +187,44 @@ def make_transfusion_train_step(model, cfg) -> Callable:
     return train_step
 
 
-def make_fused_train_step(model, lidar_cfg) -> Callable:
+def _collect_sown(tree, leaf_name):
+    """Depth-first collect every sown value named `leaf_name` from a flax
+    "intermediates" collection (values are tuples from sow's append
+    reducer)."""
+    found = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == leaf_name:
+                    found.extend(v if isinstance(v, tuple) else (v,))
+                else:
+                    walk(v)
+
+    walk(tree)
+    return found
+
+
+def make_fused_train_step(model, lidar_cfg, aux: bool = False,
+                          image_hw=None, aux_seg_weight: float = 1.0,
+                          aux_consistency_weight: float = 0.1) -> Callable:
     """Train step for the fused 3D-DF detectors (CenterPoint3DDF /
     TransFusion3DDF): batch additionally carries images (B, n_cam, H, W, 3)
-    and proj (B, n_cam, 3, 4). The loss follows the host family."""
+    and proj (B, n_cam, 3, 4). The loss follows the host family.
+
+    aux=True adds the fused aux objectives (ref SemanticSeg/aux_seg_loss.py
+    AuxImgSegmentLoss:20 + AuxConsistencyLoss:181): image-FG focal seg loss
+    on the model's AuxSegHead logits (requires FusedConfig.with_aux_seg)
+    and the voxel/camera feature consistency term at the ACTR fusion point,
+    both read from sown "intermediates". image_hw is the input image shape
+    (needed to render the FG target from projected gt boxes)."""
     from df3d.models.detectors.centerpoint import (
         CenterPointConfig as _CPCfg, centerpoint_loss as _cp_loss,
     )
     from df3d.models.detectors.transfusion import (
         TransFusionConfig as _TFCfg, transfusion_loss as _tf_loss,
     )
+    from df3d.models.fusion.aux_heads import fused_aux_losses
 
     if isinstance(lidar_cfg, _CPCfg):
         loss_fn_family = lambda preds, b: _cp_loss(
@@ -215,12 +243,33 @@ def make_fused_train_step(model, lidar_cfg) -> Callable:
         )
 
         def loss_fn(params):
+            mut = ["batch_stats", "intermediates"] if aux else ["batch_stats"]
             (preds, _), updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 res.features, res.coords, batch["images"], batch["proj"],
-                train=True, mutable=["batch_stats"],
+                train=True, mutable=mut,
             )
             total, logs = loss_fn_family(preds, batch)
+            if aux:
+                inter = updates["intermediates"]
+                seg = _collect_sown(inter, "aux_seg_logits")
+                proj = batch["proj"]
+                gt_boxes, gt_valid = batch["gt_boxes"], batch["gt_valid"]
+                if proj.ndim == 4:  # multicam: fold cameras into batch
+                    b, nc = proj.shape[:2]
+                    proj = proj.reshape(b * nc, 3, 4)
+                    gt_boxes = jnp.repeat(gt_boxes, nc, axis=0)
+                    gt_valid = jnp.repeat(gt_valid, nc, axis=0)
+                pairs = _collect_sown(inter, "aux_consistency")
+                vf, ifeat, vmask = pairs[0] if pairs else (None, None, None)
+                a_total, a_logs = fused_aux_losses(
+                    seg[0], gt_boxes, gt_valid, proj, image_hw,
+                    voxel_feats=vf, image_feats_at_voxels=ifeat,
+                    voxel_mask=vmask, seg_weight=aux_seg_weight,
+                    consistency_weight=aux_consistency_weight,
+                )
+                total = total + a_total
+                logs = dict(logs, **a_logs, loss=total)
             return total, (logs, updates)
 
         (_, (logs, updates)), grads = jax.value_and_grad(
@@ -242,12 +291,12 @@ def make_centerpoint_eval_step(model: CenterPoint, cfg: CenterPointConfig,
     head maps before decoding — the det3d CenterPoint TTA path
     (CenterPoint/det3d/models/bbox_heads/center_head.py:327-423).
 
-    fused=True drives CenterPoint3DDF: batch carries images/proj. TTA is
-    lidar-side flips; the flipped lidar would disagree with the unflipped
-    camera projections, so fused+tta is rejected (matching the reference,
-    which never combines them)."""
+    fused=True drives CenterPoint3DDF: batch carries images/proj. TTA on a
+    fused model rides the same lidar flips with the reflection COMPOSED
+    into the projection matrices (tta.expand_proj_double_flip) and the
+    images repeated — flipped points still project onto the same pixels
+    (the reference tracks pcd_*_flip through img_metas the same way)."""
     assert tta in (None, "double_flip"), tta
-    assert not (fused and tta), "double-flip TTA is lidar-only"
 
     def eval_step(state: TrainState, batch):
         points, valid = batch["points"], batch["points_valid"]
@@ -264,7 +313,14 @@ def make_centerpoint_eval_step(model: CenterPoint, cfg: CenterPointConfig,
         )
         fwd = (res.features, res.coords)
         if fused:
-            fwd = fwd + (batch["images"], batch["proj"])
+            images, proj = batch["images"], batch["proj"]
+            if tta == "double_flip":
+                from df3d.models.tta import (
+                    expand_images_double_flip, expand_proj_double_flip,
+                )
+                images = expand_images_double_flip(images)
+                proj = expand_proj_double_flip(proj)
+            fwd = fwd + (images, proj)
         preds, _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             *fwd, train=False,

@@ -1,0 +1,151 @@
+"""Dense stage-4 tail (ops/dense3d.py) equivalence vs the sparse path.
+
+The dense tail must be numerically identical to the sparse backbone
+whenever the sparse caps don't bind (same params, same BN stats), and
+strictly MORE faithful when they do (dense = exact uncapped spconv
+dilation, reference indice.cc semantics)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from df3d.models.backbones_3d import SpMiddleResNetFHD
+from df3d.ops.dense3d import (
+    DenseConvSpec, DenseTensor, dense_conv, densify, sparsify,
+)
+from df3d.ops.sparse import SparseTensor, apply_sparse_conv, build_conv_plan
+
+
+def _random_st(rng, batch=2, shape=(8, 16, 16), n=70, cin=5, pad_to=96):
+    all_coords, all_feats = [], []
+    for _ in range(batch):
+        sites = set()
+        while len(sites) < n:
+            sites.add(tuple(rng.randint(0, s) for s in shape))
+        coords = np.array(sorted(sites), np.int32)
+        feats = rng.randn(n, cin).astype(np.float32)
+        pad = pad_to - n
+        all_coords.append(
+            np.concatenate([coords, -np.ones((pad, 3), np.int32)]))
+        all_feats.append(
+            np.concatenate([feats, np.zeros((pad, cin), np.float32)]))
+    return SparseTensor(
+        jnp.asarray(np.stack(all_feats)), jnp.asarray(np.stack(all_coords)),
+        shape, rows_sorted=True,
+    )
+
+
+def test_densify_sparsify_roundtrip():
+    rng = np.random.RandomState(0)
+    st = _random_st(rng)
+    dt = densify(st)
+    assert dt.features.shape == (2, 8, 16, 16, 5)
+    assert int(dt.mask.sum()) == 140  # 70 x 2
+    st2 = sparsify(dt, 96)
+    # same rows (both key-sorted, padding last)
+    np.testing.assert_array_equal(
+        np.asarray(st.coords), np.asarray(st2.coords))
+    np.testing.assert_allclose(
+        np.asarray(st.features), np.asarray(st2.features), atol=1e-6)
+
+
+def test_dense_strided_conv_matches_sparse_plan():
+    """dense_conv(subm=False) == sparse strided conv at every planned
+    output site, and its mask == the plan's (uncapped) output set."""
+    rng = np.random.RandomState(1)
+    st = _random_st(rng)
+    w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.1)
+    plan = build_conv_plan(st, 3, 2, 1, max_out=200)
+    sparse_out = np.asarray(apply_sparse_conv(st.features, plan, w))
+    d_out = dense_conv(densify(st), w, 3, 2, 1, subm=False)
+    dn = np.asarray(d_out.features)
+    dm = np.asarray(d_out.mask)
+    oc = np.asarray(plan.out_coords)
+    for b in range(2):
+        n_mask = 0
+        for i, (z, y, x) in enumerate(oc[b]):
+            if z < 0:
+                continue
+            np.testing.assert_allclose(
+                sparse_out[b, i], dn[b, z, y, x], atol=1e-4)
+            assert dm[b, z, y, x]
+            n_mask += 1
+        assert dm[b].sum() == n_mask  # same active set (uncapped)
+
+
+def test_dense_subm_conv_masks_to_input_sites():
+    rng = np.random.RandomState(2)
+    st = _random_st(rng)
+    w = jnp.asarray(rng.randn(27, 5, 5).astype(np.float32) * 0.1)
+    dt = densify(st)
+    out = dense_conv(dt, w, 3, 1, 1, subm=True)
+    np.testing.assert_array_equal(
+        np.asarray(out.mask), np.asarray(dt.mask))
+    # inactive cells exactly zero
+    inact = ~np.asarray(dt.mask)
+    assert np.abs(np.asarray(out.features)[inact]).max() == 0.0
+
+
+def test_backbone_dense_tail_matches_sparse():
+    """Full SpMiddleResNetFHD: dense_tail=True vs False with the SAME
+    params -> identical BEV (caps big enough not to bind)."""
+    rng = np.random.RandomState(3)
+    st = _random_st(rng, shape=(25, 32, 32), n=90, pad_to=128)
+    caps = (128, 128, 128, 128)
+
+    m_sp = SpMiddleResNetFHD(5, caps, dense_tail=False)
+    m_dn = SpMiddleResNetFHD(5, caps, dense_tail=True)
+    vs = m_sp.init(jax.random.PRNGKey(0), st, train=False)
+    bev_sp, ms_sp = m_sp.apply(vs, st, train=False)
+    bev_dn, ms_dn = m_dn.apply(vs, st, train=False)
+    assert bev_sp.shape == bev_dn.shape
+    np.testing.assert_allclose(
+        np.asarray(bev_sp), np.asarray(bev_dn), atol=2e-4)
+    # conv3 (shared sparse stage) identical
+    np.testing.assert_allclose(
+        np.asarray(ms_sp["conv3"].features),
+        np.asarray(ms_dn["conv3"].features), atol=1e-5)
+
+
+def test_backbone_dense_tail_train_step_gradients():
+    """Gradients flow through the dense tail and masked BN stats update."""
+    rng = np.random.RandomState(4)
+    st = _random_st(rng, shape=(25, 32, 32), n=90, pad_to=128)
+    m = SpMiddleResNetFHD(5, (128, 128, 128, 128), dense_tail=True)
+    vs = m.init(jax.random.PRNGKey(0), st, train=False)
+
+    def loss(params):
+        (bev, _), upd = m.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]},
+            st, train=True, mutable=["batch_stats"])
+        return jnp.square(bev).mean(), upd
+
+    (l, upd), g = jax.value_and_grad(loss, has_aux=True)(vs["params"])
+    assert np.isfinite(float(l))
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert gsum > 0
+    # stage-4 conv kernels specifically
+    assert float(jnp.abs(
+        jax.tree_util.tree_leaves(g["res4a"])[0]).sum()) > 0
+
+
+def test_dense_tail_exceeds_sparse_cap_fidelity():
+    """With a binding n4 cap the sparse path truncates stage-4 sites; the
+    dense tail keeps them all (exact dilation). Demonstrates the
+    cap-overflow neutralization (VERDICT r2 item 4)."""
+    rng = np.random.RandomState(5)
+    st = _random_st(rng, shape=(25, 32, 32), n=90, pad_to=128)
+    caps_tight = (128, 128, 128, 8)  # n4 << true stage-4 occupancy
+
+    m_sp = SpMiddleResNetFHD(5, caps_tight, dense_tail=False)
+    m_dn = SpMiddleResNetFHD(5, caps_tight, dense_tail=True)
+    vs = m_sp.init(jax.random.PRNGKey(0), st, train=False)
+    bev_sp, _ = m_sp.apply(vs, st, train=False)
+    bev_dn, ms_dn = m_dn.apply(vs, st, train=False)
+    n_active_dense = int(np.asarray(ms_dn["conv4"].mask).sum())
+    assert n_active_dense > 8  # the sparse path could keep at most 8/sample
+    # dense BEV carries energy the truncated sparse one lost
+    assert float(np.abs(np.asarray(bev_dn)).sum()) > float(
+        np.abs(np.asarray(bev_sp)).sum())

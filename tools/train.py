@@ -44,6 +44,9 @@ def parse_args():
                    help="fused presets: camera image (H, W)")
     p.add_argument("--steps-per-epoch", type=int, default=100)
     p.add_argument("--set", nargs="*", default=[], dest="overrides")
+    p.add_argument("--aux-loss", action="store_true",
+                   help="fused presets: add the aux image-FG seg + "
+                        "voxel/camera consistency losses (ref aux_seg_loss)")
     return p.parse_args()
 
 
@@ -132,6 +135,7 @@ def build_model_and_step(args, preset):
             n_levels=preset["actr"].n_levels, num_cams=num_cams,
             image_branch="resnet_fpn"
             if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3",
+            with_aux_seg=getattr(args, "aux_loss", False),
         )
         images = jnp.zeros((1, num_cams, *image_shape, 3))
         proj = jnp.zeros((1, num_cams, 3, 4))
@@ -187,8 +191,10 @@ def build_model_and_step(args, preset):
             apply_fn=model.apply, params=variables["params"], tx=tx,
             batch_stats=variables["batch_stats"],
         )
-        return state, make_fused_train_step(model, lidar_cfg), lidar_cfg, (
-            num_cams, image_shape)
+        return state, make_fused_train_step(
+            model, lidar_cfg, aux=getattr(args, "aux_loss", False),
+            image_hw=image_shape,
+        ), lidar_cfg, (num_cams, image_shape)
 
     if isinstance(lidar_cfg, CenterPointConfig):
         model = CenterPoint(lidar_cfg)

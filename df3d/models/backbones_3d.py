@@ -154,11 +154,13 @@ class SparseEncoder(nn.Module):
     encoder_channels: tuple = ((16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     output_channels: int = 128
     fusion_hook: Optional[Callable] = None
+    dense_tail: bool = False  # last stage + conv_out on the dense grid
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool, fusion_kwargs=None):
         n1, n2, n3, n4 = self.stage_caps
         caps = [n2, n3, n4]
+        last_stage = len(self.encoder_channels) - 1
 
         plan = build_subm_plan(st, 3)
         x = SparseConvBNReLU(self.base_channels, subm=True, name="conv_input")(
@@ -169,21 +171,51 @@ class SparseEncoder(nn.Module):
         for i, blocks in enumerate(self.encoder_channels):
             for j, ch in enumerate(blocks):
                 last = j == len(blocks) - 1
-                if last and i != len(self.encoder_channels) - 1:
+                if last and i != last_stage:
                     pad = (0, 1, 1) if i == 2 else 1
-                    down = build_conv_plan(x, 3, 2, pad, max_out=caps[i])
-                    _sow_overflow(self, f"down{i+2}", down)
-                    x = SparseConvBNReLU(
-                        ch, subm=False, name=f"stage{i}_down"
-                    )(x, down, train)
-                    plan = build_subm_plan(
-                        x, 3,
-                        with_x3=3 * self.encoder_channels[i + 1][0] <= 128)
+                    if self.dense_tail and i == last_stage - 1:
+                        # final downsample + last stage on the dense grid
+                        # (see SpMiddleResNetFHD.dense_tail)
+                        from df3d.ops.dense3d import DenseConvSpec, densify
+
+                        x = SparseConvBNReLU(
+                            ch, subm=False, name=f"stage{i}_down"
+                        )(densify(x),
+                          DenseConvSpec((3, 3, 3), (2, 2, 2),
+                                        pad if isinstance(pad, tuple)
+                                        else (pad,) * 3),
+                          train)
+                        plan = DenseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1))
+                    else:
+                        down = build_conv_plan(x, 3, 2, pad, max_out=caps[i])
+                        _sow_overflow(self, f"down{i+2}", down)
+                        x = SparseConvBNReLU(
+                            ch, subm=False, name=f"stage{i}_down"
+                        )(x, down, train)
+                        plan = build_subm_plan(
+                            x, 3,
+                            with_x3=3 * self.encoder_channels[i + 1][0] <= 128)
                 else:
                     x = SparseBasicBlock(ch, name=f"stage{i}_block{j}")(
                         x, plan, train
                     )
             stage_outs.append(x)
+
+        if self.dense_tail:
+            from df3d.ops.dense3d import (
+                DenseConvSpec, bev_from_dense, densify, sparsify,
+            )
+
+            if self.fusion_hook is not None:
+                stage_outs[-1] = sparsify(x, n4)
+                x_sp = self.fusion_hook(
+                    self, stage_outs, train, **(fusion_kwargs or {}))
+                x = densify(x_sp)
+            out = SparseConvBNReLU(
+                self.output_channels, subm=False, name="conv_out"
+            )(x, DenseConvSpec((3, 1, 1), (2, 1, 1), (0, 0, 0)), train)
+            return bev_from_dense(out), {
+                f"conv{i+1}": s for i, s in enumerate(stage_outs)}
 
         if self.fusion_hook is not None:
             x = self.fusion_hook(self, stage_outs, train, **(fusion_kwargs or {}))

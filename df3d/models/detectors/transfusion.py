@@ -35,6 +35,10 @@ class TransFusionConfig:
     max_points_per_voxel: int = 10
     num_point_features: int = 5
     stage_caps: tuple = (120_000, 90_000, 60_000, 30_000)
+    # stage-4 dense-grid tail (see SpMiddleResNetFHD.dense_tail): at
+    # (6,180,180)x128 the MXU dense conv beats the sparse gather floor and
+    # the down4/conv_out plans vanish, with exact uncapped spconv dilation.
+    dense_tail: bool = True
     head: TransFusionHeadCfg = TransFusionHeadCfg()
 
     @property
@@ -57,7 +61,7 @@ class TransFusionL(nn.Module):
         caps = tuple(min(c, voxel_features.shape[1]) for c in cfg.stage_caps)
         bev, ms = SparseEncoder(
             cfg.num_point_features, caps, fusion_hook=self.fusion_hook,
-            name="middle_encoder",
+            dense_tail=cfg.dense_tail, name="middle_encoder",
         )(st, train, fusion_kwargs)
         bev = BEVBackbone(
             layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),

@@ -131,6 +131,29 @@ def test_backbone_dense_tail_train_step_gradients():
         jax.tree_util.tree_leaves(g["res4a"])[0]).sum()) > 0
 
 
+def test_sparse_encoder_dense_tail_matches_sparse():
+    """TransFusion's SparseEncoder: dense_tail=True vs False with the SAME
+    params -> identical BEV (caps big enough not to bind)."""
+    from df3d.models.backbones_3d import SparseEncoder
+
+    rng = np.random.RandomState(6)
+    st = _random_st(rng, shape=(25, 32, 32), n=90, pad_to=128)
+    caps = (128, 128, 128, 128)
+
+    m_sp = SparseEncoder(5, caps, dense_tail=False)
+    m_dn = SparseEncoder(5, caps, dense_tail=True)
+    vs = m_sp.init(jax.random.PRNGKey(0), st, train=False)
+    bev_sp, ms_sp = m_sp.apply(vs, st, train=False)
+    bev_dn, ms_dn = m_dn.apply(vs, st, train=False)
+    assert bev_sp.shape == bev_dn.shape
+    np.testing.assert_allclose(
+        np.asarray(bev_sp), np.asarray(bev_dn), atol=2e-4)
+    # stage-2 (shared sparse stage) identical
+    np.testing.assert_allclose(
+        np.asarray(ms_sp["conv2"].features),
+        np.asarray(ms_dn["conv2"].features), atol=1e-5)
+
+
 def test_dense_tail_exceeds_sparse_cap_fidelity():
     """With a binding n4 cap the sparse path truncates stage-4 sites; the
     dense tail keeps them all (exact dilation). Demonstrates the

@@ -56,12 +56,18 @@ class SpMiddleResNetFHD(nn.Module):
     EXACT uncapped spconv dilation semantics (the n4/extra cap-truncation
     fidelity risk disappears; r3 probes 10/11). Parameters are identical
     either way. ms["conv4"] is then a DenseTensor unless a fusion hook
-    needs the sparse view (sparsified on demand)."""
+    needs the sparse view (sparsified on demand).
+
+    dense_from=3 additionally runs stage 3 (down3 + res3a/b) dense — the
+    down3 plan (~16 ms) and subm plan3 (~4 ms) vanish too; only profitable
+    with bf16 dense compute (dense3d.set_compute_dtype), where the stage-3
+    conv bodies are MXU-bound (r3 probe 12)."""
 
     num_input_features: int
     stage_caps: Sequence[int]
     fusion_hook: Optional[Callable] = None
     dense_tail: bool = False
+    dense_from: int = 4  # first dense stage when dense_tail (4 or 3)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool, fusion_kwargs=None):
@@ -80,19 +86,31 @@ class SpMiddleResNetFHD(nn.Module):
         x = SparseBasicBlock(c2, name="res2a")(x, plan2, train)
         x_conv2 = SparseBasicBlock(c2, name="res2b")(x, plan2, train)
 
-        down3 = build_conv_plan(x_conv2, 3, 2, 1, max_out=n3)
-        _sow_overflow(self, "down3", down3)
-        x = SparseConvBNReLU(c3, subm=False, name="down3")(x_conv2, down3, train)
-        plan3 = build_subm_plan(x, 3, with_x3=3 * c3 <= 128)
-        x = SparseBasicBlock(c3, name="res3a")(x, plan3, train)
-        x_conv3 = SparseBasicBlock(c3, name="res3b")(x, plan3, train)
+        if self.dense_tail and self.dense_from <= 3:
+            from df3d.ops.dense3d import DenseConvSpec, densify
+
+            spec_d3 = DenseConvSpec((3, 3, 3), (2, 2, 2), (1, 1, 1))
+            x = SparseConvBNReLU(c3, subm=False, name="down3")(
+                densify(x_conv2), spec_d3, train)
+            spec_s3 = DenseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1))
+            x = SparseBasicBlock(c3, name="res3a")(x, spec_s3, train)
+            x_conv3 = SparseBasicBlock(c3, name="res3b")(x, spec_s3, train)
+        else:
+            down3 = build_conv_plan(x_conv2, 3, 2, 1, max_out=n3)
+            _sow_overflow(self, "down3", down3)
+            x = SparseConvBNReLU(c3, subm=False, name="down3")(
+                x_conv2, down3, train)
+            plan3 = build_subm_plan(x, 3, with_x3=3 * c3 <= 128)
+            x = SparseBasicBlock(c3, name="res3a")(x, plan3, train)
+            x_conv3 = SparseBasicBlock(c3, name="res3b")(x, plan3, train)
 
         if self.dense_tail:
             from df3d.ops.dense3d import (
-                DenseConvSpec, bev_from_dense, densify, sparsify,
+                DenseConvSpec, DenseTensor, bev_from_dense, densify, sparsify,
             )
 
-            dt = densify(x_conv3)
+            dt = (x_conv3 if isinstance(x_conv3, DenseTensor)
+                  else densify(x_conv3))
             spec_d4 = DenseConvSpec((3, 3, 3), (2, 2, 2), (0, 1, 1))
             x = SparseConvBNReLU(c4, subm=False, name="down4")(dt, spec_d4, train)
             spec_s = DenseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1))

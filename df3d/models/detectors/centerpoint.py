@@ -39,8 +39,11 @@ class CenterPointConfig:
     # backbone caps after each downsample stage (per sample)
     stage_caps: tuple = (120_000, 90_000, 60_000, 30_000)
     # stage-4 dense-grid tail (see SpMiddleResNetFHD.dense_tail): faster on
-    # the MXU and removes the down4/extra cap truncation entirely
+    # the MXU and removes the down4/extra cap truncation entirely.
+    # dense_from=3 also runs stage 3 dense (down3/subm3 plans vanish);
+    # profitable with bf16 dense compute (ops.dense3d.set_compute_dtype).
     dense_tail: bool = True
+    dense_from: int = 4
     # head
     tasks: tuple = (1, 2, 2, 1, 2, 2)  # nuScenes 6-task split
     out_size_factor: int = 8
@@ -83,7 +86,8 @@ class CenterPoint(nn.Module):
         caps = tuple(min(c, voxel_features.shape[1]) for c in self.cfg.stage_caps)
         bev, ms = SpMiddleResNetFHD(
             self.cfg.num_point_features, caps, fusion_hook=self.fusion_hook,
-            dense_tail=self.cfg.dense_tail, name="backbone"
+            dense_tail=self.cfg.dense_tail, dense_from=self.cfg.dense_from,
+            name="backbone"
         )(st, train, fusion_kwargs)
         bev = BEVBackbone(
             layer_nums=(5, 5), layer_strides=(1, 2), num_filters=(128, 256),

@@ -131,6 +131,31 @@ def test_backbone_dense_tail_train_step_gradients():
         jax.tree_util.tree_leaves(g["res4a"])[0]).sum()) > 0
 
 
+def test_backbone_dense_from3_matches_sparse():
+    """dense_from=3 (stages 3+4 dense) vs fully sparse with the SAME
+    params -> identical BEV; stage-3 mask == sparse stage-3 active set."""
+    rng = np.random.RandomState(7)
+    # caps sized so sparse dilation NEVER binds (stage-3 grid is only
+    # 7*8*8=448 cells; down2 of 60 inputs dilates to <=480): the sparse
+    # path is then exact and must match the dense one bit-for-bit.
+    st = _random_st(rng, shape=(25, 32, 32), n=60, pad_to=64)
+    caps = (64, 512, 512, 512)
+
+    m_sp = SpMiddleResNetFHD(5, caps, dense_tail=False)
+    m_dn = SpMiddleResNetFHD(5, caps, dense_tail=True, dense_from=3)
+    vs = m_sp.init(jax.random.PRNGKey(0), st, train=False)
+    bev_sp, ms_sp = m_sp.apply(vs, st, train=False)
+    bev_dn, ms_dn = m_dn.apply(vs, st, train=False)
+    assert bev_sp.shape == bev_dn.shape
+    np.testing.assert_allclose(
+        np.asarray(bev_sp), np.asarray(bev_dn), atol=2e-4)
+    # conv3 is a DenseTensor; its active set matches the sparse conv3 rows
+    assert isinstance(ms_dn["conv3"], DenseTensor)
+    sp3 = ms_sp["conv3"]
+    n_sp3 = int(np.asarray(sp3.valid).sum())
+    assert int(np.asarray(ms_dn["conv3"].mask).sum()) == n_sp3
+
+
 def test_sparse_encoder_dense_tail_matches_sparse():
     """TransFusion's SparseEncoder: dense_tail=True vs False with the SAME
     params -> identical BEV (caps big enough not to bind)."""

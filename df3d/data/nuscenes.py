@@ -103,9 +103,16 @@ class NuScenesDataset:
 
 class CBGSWrapper:
     """Class-balanced resampling (mmdet3d dataset_wrappers.py:7 CBGSDataset):
-    duplicate sample indices so each class appears ~uniformly."""
+    duplicate sample indices so each class appears ~uniformly.
 
-    def __init__(self, dataset):
+    The reference draws its duplicate set once per RUN with the global RNG
+    (`_get_sample_indices`, np.random.choice); a seed-frozen draw would bias
+    long trainings toward one fixed duplicate set. `resample(seed)` redraws
+    deterministically; PrefetchLoader calls it with the epoch index, so each
+    epoch sees a fresh (but reproducible) duplicate set. Per-class counts
+    are seed-independent, so len() is stable across epochs."""
+
+    def __init__(self, dataset, seed: int = 0):
         self.dataset = dataset
         ncls = len(dataset.class_names)
         cls_to_samples = [[] for _ in range(ncls)]
@@ -115,20 +122,23 @@ class CBGSWrapper:
             for c in names:
                 if c in dataset.class_names:
                     cls_to_samples[dataset.class_names.index(c)].append(i)
-        frac = 1.0 / ncls
-        ratios = []
         total = sum(len(s) for s in cls_to_samples)
+        frac = 1.0 / ncls
+        # (class index list, number of draws) — reference truncates with
+        # int(), dataset_wrappers.py:56
+        self._groups = [
+            (s, int(frac / (len(s) / total) * len(s)))
+            for s in cls_to_samples if s
+        ]
+        self.resample(seed)
+
+    def resample(self, seed: int) -> None:
+        rng = np.random.RandomState(seed)
         self.indices = []
-        for s in cls_to_samples:
-            if not s:
-                continue
-            ratio = frac / (len(s) / max(total, 1))
-            reps = int(np.round(ratio * len(s)))
-            self.indices.extend(
-                np.random.RandomState(0).choice(s, reps).tolist()
-            )
+        for s, reps in self._groups:
+            self.indices.extend(rng.choice(s, reps).tolist())
         if not self.indices:
-            self.indices = list(range(len(dataset)))
+            self.indices = list(range(len(self.dataset)))
 
     def __len__(self):
         return len(self.indices)

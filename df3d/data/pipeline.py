@@ -94,6 +94,10 @@ class PrefetchLoader:
         return idx[self.shard_id::self.num_shards]
 
     def __iter__(self) -> Iterator[dict]:
+        # class-balanced wrappers (CBGSWrapper) redraw their duplicate set
+        # each epoch, mirroring per-run reference draws without freezing one
+        if hasattr(self.dataset, "resample"):
+            self.dataset.resample(self.epoch)
         idx = self._indices()
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

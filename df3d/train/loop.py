@@ -57,6 +57,9 @@ class Runner:
         self.hooks: list[Hook] = []
         self.logger = logger or self._make_logger()
         self._jsonl = open(self.work_dir / "train_log.jsonl", "a")
+        from df3d.utils.tb_writer import ScalarWriter
+
+        self._tb = ScalarWriter(self.work_dir / "tensorboard")
 
     def _make_logger(self):
         logger = logging.getLogger("df3d")
@@ -138,6 +141,9 @@ class Runner:
                         {"epoch": self.epoch, "step": self.global_step, **logs}
                     ) + "\n")
                     self._jsonl.flush()
+                    for k, v in logs.items():
+                        self._tb.add_scalar(f"train/{k}", v, self.global_step)
+                    self._tb.flush()
                 self.global_step += 1
                 self._fire("after_iter")
             if (self.epoch + 1) % self.ckpt_interval == 0:

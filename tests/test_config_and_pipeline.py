@@ -97,3 +97,46 @@ def test_augment_roundtrip_with_projection():
         flip_x=jnp.asarray(params.flip_x),
     )
     np.testing.assert_allclose(np.asarray(restored)[:, :3], orig[:, :3], atol=1e-4)
+
+
+def test_cbgs_resample_per_epoch():
+    """CBGSWrapper: per-class duplicate counts are seed-independent (len is
+    stable) but the duplicate SET is redrawn each epoch; PrefetchLoader
+    triggers the redraw (mmdet3d dataset_wrappers.py:7 semantics without a
+    run-frozen draw)."""
+    from df3d.data.nuscenes import CBGSWrapper
+
+    class Tiny:
+        class_names = ("car", "ped")
+        infos = (
+            [{"gt_names": ["car"]}] * 9 + [{"gt_names": ["ped"]}]
+        )
+
+        def __len__(self):
+            return len(self.infos)
+
+        def __getitem__(self, i):
+            return {"idx": i}
+
+    ds = CBGSWrapper(Tiny())
+    n0, idx0 = len(ds), list(ds.indices)
+    ds.resample(1)
+    assert len(ds) == n0                      # counts stable
+    assert list(ds.indices) != idx0           # set redrawn
+    ds.resample(0)
+    assert list(ds.indices) == idx0           # deterministic per seed
+    # the rare class is upsampled toward balance
+    rare = sum(1 for i in ds.indices if i == 9)
+    assert rare >= n0 // 3
+
+    # loader calls resample(epoch) at each epoch start
+    calls = []
+    ds.resample = lambda e: calls.append(e)
+    loader = PrefetchLoader(
+        ds, batch_size=2, collate=lambda s: {"n": len(s)}, num_workers=1
+    )
+    for _ in loader:
+        pass
+    for _ in loader:
+        pass
+    assert calls == [0, 1]

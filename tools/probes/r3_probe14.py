@@ -131,6 +131,23 @@ def main():
         print(f"pallas add sanity FAILED: {e}", flush=True)
         return
 
+    # --- CORRECTNESS first: the lowering may compile yet mis-gather
+    # across vregs; compare vs the XLA gather on-chip ---
+    for (r, c, axis) in [(8, 128, 0), (512, 128, 0), (8192, 128, 0),
+                         (2048, 16, 0), (8, 2048, 1), (128, 2048, 1)]:
+        x = jnp.asarray(rng.randn(r, c).astype(np.float32))
+        idx = jnp.asarray(
+            rng.randint(0, x.shape[axis], (r, c)).astype(np.int32))
+        try:
+            got = np.asarray(taa_pallas(x, idx, axis))
+            ref = np.asarray(jnp.take_along_axis(x, idx, axis=axis))
+            err = np.abs(got - ref).max()
+            print(f"correct axis={axis} ({r},{c}): max err {err:.3g}"
+                  f"{'  *** WRONG ***' if err > 1e-6 else ''}", flush=True)
+        except Exception as e:
+            msg = str(e).split("\n")[0][:90]
+            print(f"correct axis={axis} ({r},{c}): FAIL {msg}", flush=True)
+
     # --- axis=0 (cross-sublane row permutation) rate sweep ---
     for (r, c) in [(8, 128), (64, 128), (512, 128), (2048, 128),
                    (8192, 128), (512, 16), (2048, 16), (8192, 16),

@@ -44,9 +44,15 @@ def parse_args():
                    help="fused presets: camera image (H, W)")
     p.add_argument("--steps-per-epoch", type=int, default=100)
     p.add_argument("--set", nargs="*", default=[], dest="overrides")
+    p.add_argument("--cbgs", action="store_true",
+                   help="class-balanced resampling (mmdet3d CBGSDataset); "
+                        "duplicate set is redrawn every epoch")
     p.add_argument("--aux-loss", action="store_true",
                    help="fused presets: add the aux image-FG seg + "
                         "voxel/camera consistency losses (ref aux_seg_loss)")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="override the jax backend (e.g. cpu smoke runs "
+                        "when no TPU is reachable)")
     return p.parse_args()
 
 
@@ -248,6 +254,11 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.platform:
+        # must precede any backend init (the axon sitecustomize registers a
+        # remote TPU plugin; env vars alone don't stick — see CLAUDE.md)
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from df3d.config import apply_preset_overrides, get_preset
@@ -287,6 +298,10 @@ def main():
             load_images=bool(fused_extra),
             image_shape=fused_extra[1] if fused_extra else (448, 800),
         )
+        if args.cbgs:
+            from df3d.data.nuscenes import CBGSWrapper
+
+            dataset = CBGSWrapper(dataset)
         max_points = args.max_points
 
     # gt padding must not exceed the model's target-assignment capacity

@@ -115,6 +115,110 @@ def _bwd(tile, interpret, res, g):
 apply_sparse_conv_pallas.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# v2: whole-table-resident kernel. Mosaic's ONLY lowerable gather is
+# take_along_axis(x, idx, axis) with idx.shape == x.shape (a per-lane row
+# permutation, lowering.py:2464-2524) — the r1 kernel above violates that
+# (tile != table) and thus never lowered on device. v2 satisfies it by
+# making the output tile BE the whole table: grid over taps, the (N1, Cin)
+# table stays VMEM-resident, each step permutes the full table and feeds
+# the MXU, accumulating into a resident (N1, Cout) f32 output block.
+# VMEM budget: N1*(Cin*sz + 4*Cout) + 4*N1; bf16 tables halve the first
+# term (stage 2/3 need it; stage 1 fits in f32).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(idx_ref, x_ref, w_ref, o_ref):
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    idx2d = jnp.broadcast_to(idx_ref[0, 0][:, None], x_ref.shape)
+    rows = jnp.take_along_axis(x_ref[...], idx2d, axis=0)
+    o_ref[...] += jnp.dot(
+        rows, w_ref[0].astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def sparse_conv_pallas_v2_single(features, gather_idx, weights,
+                                 table_dtype=None, interpret=False):
+    """Fused gather-GEMM conv, one sample. features (N+1, Cin) with the
+    LAST row the zero miss row; gather_idx (K, N_out) row indices into
+    features; weights (K, Cin, Cout) -> (N_out, Cout) f32.
+
+    The permutation is padded to the full table height (N_out <= N+1
+    queries cost N+1 gather rows — the tap grid keeps everything resident
+    so the waste is bounded by the pad ratio)."""
+    n1, cin = features.shape
+    k, n_out = gather_idx.shape
+    cout = weights.shape[-1]
+    if table_dtype is not None:
+        features = features.astype(table_dtype)
+    if n_out < n1:
+        gather_idx = jnp.pad(gather_idx, ((0, 0), (0, n1 - n_out)),
+                             constant_values=n1 - 1)
+    out = pl.pallas_call(
+        _kernel_v2,
+        out_shape=jax.ShapeDtypeStruct((n1, cout), jnp.float32),
+        grid=(k,),
+        in_specs=[
+            # (K, 1, N1) so the block's last two dims equal the array's
+            # (Mosaic block-shape rule: divisible by (8,128) or full)
+            pl.BlockSpec((1, 1, n1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, cin), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin, cout), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n1, cout), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(gather_idx[:, None, :], features, weights)
+    return out[:n_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def apply_sparse_conv_pallas_v2(features, plan_gather_idx, weights,
+                                table_dtype=None, interpret=False):
+    """Batched v2 fused conv: features (B, N, Cin); plan_gather_idx
+    (B, K, N_out) or flat (B, K*N_out) with N = miss; weights (K, Cin,
+    Cout) -> (B, N_out, Cout)."""
+    b, n, cin = features.shape
+    if plan_gather_idx.ndim == 2:
+        plan_gather_idx = plan_gather_idx.reshape(b, weights.shape[0], -1)
+    padded = jnp.concatenate(
+        [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
+    )
+    # python-unroll the batch: vmap rewrites gather dnums off the fast path
+    outs = [
+        sparse_conv_pallas_v2_single(padded[i], plan_gather_idx[i], weights,
+                                     table_dtype, interpret)
+        for i in range(b)
+    ]
+    return jnp.stack(outs).astype(features.dtype)
+
+
+def _fwd_v2(features, plan_gather_idx, weights, table_dtype, interpret):
+    out = apply_sparse_conv_pallas_v2(
+        features, plan_gather_idx, weights, table_dtype, interpret)
+    return out, (features, plan_gather_idx, weights)
+
+
+def _bwd_v2(table_dtype, interpret, res, g):
+    return _bwd(None, interpret, res, g)
+
+
+apply_sparse_conv_pallas_v2.defvjp(_fwd_v2, _bwd_v2)
+
+
 _PALLAS_CONV_OK: bool | None = None
 
 

@@ -55,3 +55,52 @@ def test_pallas_conv_backward_matches_xla():
     gx = jax.grad(f_xla, argnums=(0, 1))(st.features, w)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pallas_conv_v2_matches_xla():
+    """v2 whole-table kernel (the only Mosaic-lowerable gather form):
+    interpret numerics vs the XLA tap-scan, fwd + bwd."""
+    from df3d.ops.pallas.sparse_conv_kernel import apply_sparse_conv_pallas_v2
+
+    rng = np.random.RandomState(2)
+    st = _random_sparse(rng)
+    plan = build_subm_plan(st, 3)
+    w = jnp.asarray(rng.randn(27, 8, 16).astype(np.float32) * 0.1)
+    want = np.asarray(apply_sparse_conv(st.features, plan, w))
+    got = np.asarray(
+        apply_sparse_conv_pallas_v2(st.features, plan.gather_idx, w,
+                                    interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def f_pallas(f, w):
+        return apply_sparse_conv_pallas_v2(
+            f, plan.gather_idx, w, None, True).sum()
+
+    def f_xla(f, w):
+        return apply_sparse_conv(f, plan, w).sum()
+
+    gp = jax.grad(f_pallas, argnums=(0, 1))(st.features, w)
+    gx = jax.grad(f_xla, argnums=(0, 1))(st.features, w)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_pallas_conv_v2_lowers_for_tpu():
+    """The v2 kernel passes pallas->Mosaic lowering (where the r1 kernel
+    raised 'Unsupported gather') at backbone stage shapes, via
+    cross-platform export on CPU."""
+    from jax import export
+
+    from df3d.ops.pallas.sparse_conv_kernel import apply_sparse_conv_pallas_v2
+
+    for (n, cin, cout, dt) in [
+        (4096, 16, 16, None), (4096, 32, 32, jnp.bfloat16),
+    ]:
+        f = jnp.zeros((1, n, cin), jnp.float32)
+        idx = jnp.zeros((1, 27, n), jnp.int32)
+        w = jnp.zeros((27, cin, cout), jnp.float32)
+        export.export(
+            jax.jit(lambda f, i, w: apply_sparse_conv_pallas_v2(f, i, w, dt)),
+            platforms=["tpu"],
+        )(f, idx, w)

@@ -182,6 +182,61 @@ def main():
               lambda x, i, w: chain_fused(x, i, w), x, idx, w,
               rows=27 * r)
 
+    # --- the REAL candidate: v2 whole-table kernel at backbone scales ---
+    from df3d.ops.pallas.sparse_conv_kernel import (
+        apply_sparse_conv_pallas_v2,
+    )
+    from df3d.ops.sparse import ConvPlan, apply_sparse_conv
+
+    def chain_v2(f, idx, w, dt, iters=ITERS):
+        def body(i, carry):
+            ii = idx + perturb_i(carry)
+            o = apply_sparse_conv_pallas_v2(f, ii, w, dt)
+            return jnp.float32(o.sum(dtype=jnp.float32))
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    def chain_xla(f, idx, w, iters=ITERS):
+        def body(i, carry):
+            ii = idx + perturb_i(carry)
+            flat = ii.reshape(ii.shape[0], -1)
+            plan = ConvPlan(
+                flat, jnp.zeros((1, idx.shape[-1], 3), jnp.int32),
+                (1, 1, 1), (idx.shape[1], 1, 1))
+            o = apply_sparse_conv(f, plan, w)
+            return jnp.float32(o.sum(dtype=jnp.float32))
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    for (n, cin, cout, dt, tag) in [
+        (120_000, 16, 16, None, "st1 f32"),
+        (120_000, 16, 16, jnp.bfloat16, "st1 bf16"),
+        (90_000, 32, 32, jnp.bfloat16, "st2 bf16"),
+        (55_000, 64, 64, jnp.bfloat16, "st3 bf16"),
+    ]:
+        f = jnp.asarray(rng.randn(1, n, cin).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, n, (1, 27, n)).astype(np.int32))
+        w = jnp.asarray((rng.randn(27, cin, cout) * 0.1).astype(np.float32))
+        # correctness on-chip first
+        try:
+            got = np.asarray(apply_sparse_conv_pallas_v2(f, idx, w, dt))
+            flat = idx.reshape(1, -1)
+            plan = ConvPlan(flat, jnp.zeros((1, n, 3), jnp.int32),
+                            (1, 1, 1), (27, 1, 1))
+            ref = np.asarray(apply_sparse_conv(
+                f.astype(dt) if dt else f, plan,
+                w.astype(dt) if dt else w).astype(np.float32))
+            err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+            print(f"v2 {tag} ({n},{cin})->{cout}: rel err {err:.3g}"
+                  f"{'  *** WRONG ***' if err > 2e-2 else ''}", flush=True)
+        except Exception as e:
+            print(f"v2 {tag}: FAIL {str(e).splitlines()[0][:90]}", flush=True)
+            continue
+        timed(f"v2 conv {tag} ({n},{cin})->{cout}",
+              lambda f, i, w: chain_v2(f, i, w, dt), f, idx, w,
+              rows=27 * n)
+        timed(f"xla conv {tag} ({n},{cin})->{cout}",
+              lambda f, i, w: chain_xla(f, i, w), f, idx, w,
+              rows=27 * n)
+
 
 if __name__ == "__main__":
     main()

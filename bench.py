@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -24,6 +26,13 @@ def main():
         CenterPoint, CenterPointConfig, centerpoint_predict,
     )
     from df3d.ops.voxelize import voxelize_batch
+
+    if os.environ.get("DF3D_BF16_TAIL"):
+        # bf16 neck+head inference tail (final branch convs stay f32);
+        # A/B probe switch — see models/layers.py set_compute_dtype_2d
+        from df3d.models.layers import set_compute_dtype_2d
+
+        set_compute_dtype_2d(jnp.bfloat16)
 
     cfg = CenterPointConfig(
         max_voxels=120_000,

@@ -36,16 +36,22 @@ class SepHeadBranch(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         k = (self.final_kernel, self.final_kernel)
+        from df3d.models import layers as _L
+
+        dt = _L._COMPUTE_DTYPE_2D
         for _ in range(self.num_convs - 1):
-            x = nn.Conv(self.head_conv, k, padding="SAME")(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.Conv(self.head_conv, k, padding="SAME", dtype=dt)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
             x = nn.relu(x)
         bias_init = (
             nn.initializers.constant(self.init_bias)
             if self.init_bias is not None
             else nn.initializers.zeros
         )
-        return nn.Conv(self.out_channels, k, padding="SAME", bias_init=bias_init)(x)
+        # final branch conv back in f32 (regression/heatmap numerics)
+        return nn.Conv(
+            self.out_channels, k, padding="SAME", bias_init=bias_init
+        )(x.astype(jnp.float32))
 
 
 class CenterHead(nn.Module):
@@ -58,8 +64,11 @@ class CenterHead(nn.Module):
     def __call__(self, x: jax.Array, train: bool):
         """x (B, H, W, Cin) BEV features -> list over tasks of dicts of maps
         (B, H, W, c), plus 'hm' logits."""
-        x = nn.Conv(self.share_conv_channel, (3, 3), padding="SAME")(x)
-        x = nn.BatchNorm(use_running_average=not train)(x)
+        from df3d.models import layers as _L
+
+        dt = _L._COMPUTE_DTYPE_2D
+        x = nn.Conv(self.share_conv_channel, (3, 3), padding="SAME", dtype=dt)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=dt)(x)
         x = nn.relu(x)
 
         outs = []

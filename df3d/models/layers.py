@@ -145,6 +145,19 @@ class SparseBasicBlock(nn.Module):
         return st.with_features(nn.relu(h + identity))
 
 
+_COMPUTE_DTYPE_2D = None
+
+
+def set_compute_dtype_2d(dtype):
+    """Computation dtype for the dense BEV 2D blocks (neck/head convs +
+    BN), mirroring ops.sparse.set_compute_dtype. Params stay f32; flax
+    casts inputs/params to `dtype` per-op. bf16 keeps the big BEV conv
+    stack on the MXU at half the HBM traffic — intended for inference
+    (bench: the neck+head+predict tail)."""
+    global _COMPUTE_DTYPE_2D
+    _COMPUTE_DTYPE_2D = dtype
+
+
 class ConvBNReLU2d(nn.Module):
     """BEV 2D conv block, channel-last (B, H, W, C)."""
 
@@ -159,9 +172,11 @@ class ConvBNReLU2d(nn.Module):
             self.out_channels, (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride), padding="SAME",
             use_bias=self.use_bias, kernel_init=nn.initializers.he_normal(),
+            dtype=_COMPUTE_DTYPE_2D,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=_COMPUTE_DTYPE_2D,
         )(x)
         return nn.relu(x)
 
@@ -178,9 +193,11 @@ class DeconvBNReLU2d(nn.Module):
             self.out_channels, (self.stride, self.stride),
             strides=(self.stride, self.stride), use_bias=False,
             kernel_init=nn.initializers.he_normal(),
+            dtype=_COMPUTE_DTYPE_2D,
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=_COMPUTE_DTYPE_2D,
         )(x)
         return nn.relu(x)
 

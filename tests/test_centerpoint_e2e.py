@@ -134,3 +134,42 @@ def test_tta_double_flip_eval_step(setup):
     assert tta["boxes"].shape == plain["boxes"].shape  # (B, ...) not B*4
     assert np.isfinite(np.asarray(tta["boxes"])).all()
     assert np.asarray(tta["scores"]).max() <= 1.0
+
+
+def test_bf16_neck_head_close_to_f32():
+    """set_compute_dtype_2d(bf16): same params, eval-mode neck+head outputs
+    stay within bf16 tolerance of the f32 path (heatmap sigmoid scale)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from df3d.models import layers as L
+    from df3d.models.heads.center_head import CenterHead
+    from df3d.models.necks import BEVBackbone
+
+    class NeckHead(L.nn.Module):
+        @L.nn.compact
+        def __call__(self, x, train):
+            x = BEVBackbone(
+                layer_nums=(2, 2), layer_strides=(1, 2),
+                num_filters=(32, 64), upsample_strides=(1, 2),
+                num_upsample_filters=(64, 64), name="neck",
+            )(x, train)
+            return CenterHead((1, 2), name="head")(x, train)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 32, 32, 48).astype(np.float32))
+    m = NeckHead()
+    vs = m.init(jax.random.PRNGKey(0), x, train=False)
+    ref = m.apply(vs, x, train=False)
+    try:
+        L.set_compute_dtype_2d(jnp.bfloat16)
+        got = m.apply(vs, x, train=False)
+    finally:
+        L.set_compute_dtype_2d(None)
+    for t, (r, g) in enumerate(zip(ref, got)):
+        for k in r:
+            rr, gg = np.asarray(r[k]), np.asarray(g[k])
+            assert gg.dtype == np.float32  # final convs stay f32
+            scale = max(np.abs(rr).max(), 1.0)
+            assert np.abs(rr - gg).max() / scale < 0.1, (t, k)

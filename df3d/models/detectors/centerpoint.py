@@ -46,6 +46,7 @@ class CenterPointConfig:
     dense_from: int = 4
     # head
     tasks: tuple = (1, 2, 2, 1, 2, 2)  # nuScenes 6-task split
+    dcn_head: bool = False  # DCNSepHead deformable adaption (det3d)
     out_size_factor: int = 8
     code_weights: tuple = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0)
     loc_weight: float = 0.25
@@ -94,7 +95,9 @@ class CenterPoint(nn.Module):
             upsample_strides=(1, 2), num_upsample_filters=(256, 256),
             name="neck",
         )(bev, train)
-        preds = CenterHead(self.cfg.tasks, name="head")(bev, train)
+        preds = CenterHead(
+            self.cfg.tasks, dcn_head=self.cfg.dcn_head, name="head"
+        )(bev, train)
         return preds, ms
 
 

@@ -54,11 +54,37 @@ class SepHeadBranch(nn.Module):
         )(x.astype(jnp.float32))
 
 
+class FeatureAdaption(nn.Module):
+    """DCN-v1 feature adaption (det3d center_head.py:25-63): a zero-init
+    1x1 conv predicts per-position tap deltas, a deformable 3x3 conv
+    resamples; relu. Zero-init offsets make it a plain 3x3 conv at init."""
+
+    channels: int
+    groups: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        from df3d.ops.dcn import deform_conv2d
+
+        off = nn.Conv(
+            self.groups * 9 * 2, (1, 1),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name="conv_offset",
+        )(x.astype(jnp.float32))
+        w = self.param(
+            "adapt_kernel", nn.initializers.he_normal(),
+            (9, x.shape[-1], self.channels), jnp.float32,
+        )
+        y = deform_conv2d(x.astype(jnp.float32), off, w, self.groups)
+        return nn.relu(y).astype(x.dtype)
+
+
 class CenterHead(nn.Module):
     task_num_classes: Sequence[int]  # e.g. (1, 2, 2, 1, 2, 2) for nuScenes
     branches: tuple = DEFAULT_BRANCHES
     share_conv_channel: int = 64
     init_bias: float = -2.19
+    dcn_head: bool = False  # DCNSepHead (det3d center_head.py:112-170)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
@@ -73,14 +99,24 @@ class CenterHead(nn.Module):
 
         outs = []
         for t, ncls in enumerate(self.task_num_classes):
+            if self.dcn_head:
+                # separate deformable adaptions for cls / reg (DCNSepHead)
+                x_cls = FeatureAdaption(
+                    self.share_conv_channel, name=f"task{t}_adapt_cls"
+                )(x, train)
+                x_reg = FeatureAdaption(
+                    self.share_conv_channel, name=f"task{t}_adapt_reg"
+                )(x, train)
+            else:
+                x_cls = x_reg = x
             task_out = {}
             for name, ch, nconv in self.branches:
                 task_out[name] = SepHeadBranch(ch, nconv, name=f"task{t}_{name}")(
-                    x, train
+                    x_reg, train
                 )
             task_out["hm"] = SepHeadBranch(
                 ncls, 2, init_bias=self.init_bias, name=f"task{t}_hm"
-            )(x, train)
+            )(x_cls, train)
             outs.append(task_out)
         return outs
 

@@ -148,6 +148,17 @@ def set_x3_enabled(flag: bool) -> None:
     X3_ENABLED = flag
 
 
+PALLAS_V2_CONV = False
+
+
+def set_pallas_conv(flag: bool) -> None:
+    """Route conv bodies through the whole-table Mosaic kernel
+    (ops/pallas/sparse_conv_kernel.py v2). Off by default pending the
+    on-chip rate probe (tools/probes/r3_probe14.py)."""
+    global PALLAS_V2_CONV
+    PALLAS_V2_CONV = flag
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ConvPlan:
@@ -608,6 +619,20 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
         weights = weights.astype(_COMPUTE_DTYPE)
     k = plan.num_taps
     n_out = plan.gather_idx.shape[1] // k
+
+    if PALLAS_V2_CONV:
+        # whole-table-resident Mosaic kernel (per-lane row permutation +
+        # fused MXU accumulate); plan.gather_idx rows are per-sample with
+        # miss == n_in == the kernel's zero pad row
+        from df3d.ops.pallas.sparse_conv_kernel import (
+            apply_sparse_conv_pallas_v2,
+        )
+
+        out = apply_sparse_conv_pallas_v2(
+            features, plan.gather_idx.reshape(b, k, n_out), weights,
+            table_dtype=_COMPUTE_DTYPE,
+        )
+        return out.astype(features.dtype)
 
     # x-triple path (r3): one wide single-row gather serves the 3
     # x-adjacent taps of each (dz, dy) group. v5e single-row gathers stay

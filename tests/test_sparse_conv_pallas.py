@@ -104,3 +104,29 @@ def test_pallas_conv_v2_lowers_for_tpu():
             jax.jit(lambda f, i, w: apply_sparse_conv_pallas_v2(f, i, w, dt)),
             platforms=["tpu"],
         )(f, idx, w)
+
+
+def test_pallas_v2_routing_switch():
+    """set_pallas_conv(True) routes apply_sparse_conv through the v2
+    kernel (interpret on CPU) and matches the XLA path."""
+    from df3d.ops import sparse as sp
+    from df3d.ops.pallas import sparse_conv_kernel as K
+
+    rng = np.random.RandomState(3)
+    st = _random_sparse(rng, batch=1)
+    plan = build_subm_plan(st, 3)
+    w = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32) * 0.1)
+    want = np.asarray(apply_sparse_conv(st.features, plan, w))
+    orig = K.apply_sparse_conv_pallas_v2
+
+    def interp(f, i, w, table_dtype=None, interpret=False):
+        return orig(f, i, w, table_dtype, True)
+
+    try:
+        K.apply_sparse_conv_pallas_v2 = interp
+        sp.set_pallas_conv(True)
+        got = np.asarray(apply_sparse_conv(st.features, plan, w))
+    finally:
+        sp.set_pallas_conv(False)
+        K.apply_sparse_conv_pallas_v2 = orig
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -6,6 +6,17 @@ Baseline: the reference's published CenterPoint 0.075-voxel inference speed,
 11 FPS on a TITAN RTX at batch 1 (reference CenterPoint/configs/nusc/
 README.md:24-30; BASELINE.md). vs_baseline = our_fps / 11.
 
+Workload (round 3): ray-cast 10-sweep lidar frames (df3d/utils/synth.py
+make_raycast_frame — surface-sampled, nuScenes-like per-stage occupancy)
+with stage caps fitted at p99 + headroom over that distribution
+(tools/fit_caps.py --synthetic). This matches the reference's measurement
+conditions — real nuScenes val frames, dynamic shapes, voxelize cap 160k at
+test time (nusc_centerpoint_voxelnet_0075voxel_fix_bn_z.py:145) — far more
+closely than rounds 1-2's uniform-random points, which saturated every
+static cap (a strictly heavier-than-real workload; VERDICT r2 weak #7).
+The saturated-cap number is still reported as `fps_saturated_caps` for
+cross-round comparability.
+
 Prints exactly ONE JSON line.
 """
 
@@ -14,6 +25,13 @@ import sys
 import time
 
 import numpy as np
+
+# fitted over 16 ray-cast frames (max observed true dilated occupancy per
+# stage x1.1 headroom, rounded up to 1024; spconv-exact dilation enumeration
+# — same math as tools/fit_caps.py --synthetic); observed max was
+# (92552, 66209, 24424, 8992). Stage-1 cap doubles as the voxelize
+# max_voxels. See PARITY.md round-3 notes.
+REALISTIC_STAGE_CAPS = (102_400, 73_728, 27_648, 10_240)
 
 
 def main():
@@ -34,12 +52,92 @@ def main():
 
         set_compute_dtype_2d(jnp.bfloat16)
 
-    cfg = CenterPointConfig(
-        max_voxels=120_000,
-        stage_caps=(120_000, 90_000, 55_000, 30_000),
-    )
-
     num_points = 260_000  # ~10-sweep nuScenes lidar
+
+    # DF3D_BENCH_SMOKE=1: tiny shapes + forced CPU so the full bench code
+    # path is testable off-chip (numbers are meaningless in this mode)
+    smoke = bool(os.environ.get("DF3D_BENCH_SMOKE"))
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+        num_points = 20_000
+
+    def centerpoint_fps(cfg, frame_list, iters=10):
+        """Best-of-2 async-dispatch throughput over cycled frames."""
+        points0, valid0 = frame_list[0]
+
+        def voxelize(points, valid):
+            return voxelize_batch(
+                points, valid, cfg.voxel_size, cfg.pc_range, cfg.grid_size,
+                cfg.max_voxels, cfg.max_points_per_voxel,
+            )
+
+        res = jax.jit(voxelize)(points0, valid0)
+        model = CenterPoint(cfg)
+        variables = jax.jit(
+            lambda f, c: model.init(jax.random.PRNGKey(0), f, c, train=False)
+        )(res.features, res.coords)
+
+        @jax.jit
+        def infer(variables, points, valid):
+            res = voxelize(points, valid)
+            preds, _ = model.apply(
+                variables, res.features, res.coords, train=False)
+            return centerpoint_predict(cfg, preds)
+
+        # compile + warmup; fetch a scalar to the host (block_until_ready
+        # alone does not guarantee execution through the remote-TPU relay)
+        float(infer(variables, points0, valid0)["scores"].sum())
+
+        # throughput timing: dispatch asynchronously and force ONCE at the
+        # end (each scalar fetch through the relay costs ~30ms of pure round
+        # trip, which a co-located serving host never pays; dispatches queue
+        # on the device and the final fetch transitively forces them all)
+        fps_runs = []
+        for _ in range(2):  # best-of-2: the relay occasionally stalls a run
+            t0 = time.perf_counter()
+            outs = [infer(variables, *frame_list[i % len(frame_list)])
+                    for i in range(iters)]
+            s = 0.0
+            for o in outs:
+                s += o["scores"].sum()
+            float(s)
+            dt = time.perf_counter() - t0
+            fps_runs.append(round(iters / dt, 3))
+        return max(fps_runs), fps_runs, variables
+
+    # --- realistic workload (headline): ray-cast frames + fitted caps ---
+    from df3d.utils.synth import make_raycast_frame
+
+    real_caps = ((12_000, 8_000, 4_000, 2_000) if smoke
+                 else REALISTIC_STAGE_CAPS)
+    real_cfg = CenterPointConfig(
+        max_voxels=real_caps[0], stage_caps=real_caps,
+    )
+    real_frames = []
+    for i in range(2 if smoke else 3):
+        f = make_raycast_frame(
+            np.random.RandomState(100 + i), num_points,
+            **(dict(n_sweeps=2, n_azimuth=300, n_beams=16) if smoke else {}))
+        real_frames.append((jnp.asarray(f[None]),
+                            jnp.ones((1, num_points), bool)))
+    fps, fps_runs, variables = centerpoint_fps(
+        real_cfg, real_frames, iters=2 if smoke else 10)
+
+    result = {
+        "metric": "centerpoint_0075voxel_infer_fps_bs1",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 11.0, 3),
+        # both timing loops, so the best-of-2 choice is auditable (ADVICE r2)
+        "fps_runs": fps_runs,
+        "workload": "raycast_10sweep_fitted_caps",
+        "stage_caps": list(REALISTIC_STAGE_CAPS),
+    }
+
+    # --- saturated workload (rounds 1-2 conditions, for comparability) ---
+    sat_caps = ((16_000, 12_000, 8_000, 4_000) if smoke
+                else (120_000, 90_000, 55_000, 30_000))
+    cfg = CenterPointConfig(max_voxels=sat_caps[0], stage_caps=sat_caps)
     rng = np.random.RandomState(0)
     pts = np.concatenate(
         [
@@ -51,58 +149,18 @@ def main():
     ).astype(np.float32)
     points = jnp.asarray(pts)
     valid = jnp.ones(points.shape[:2], bool)
+    try:
+        sat_fps, sat_runs, _ = centerpoint_fps(
+            cfg, [(points, valid)], iters=2 if smoke else 10)
+        result["fps_saturated_caps"] = sat_fps
+        result["vs_baseline_saturated"] = round(sat_fps / 11.0, 3)
+        result["fps_saturated_runs"] = sat_runs
+    except Exception as e:  # pragma: no cover
+        result["saturated_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    def voxelize(points, valid):
-        return voxelize_batch(
-            points, valid, cfg.voxel_size, cfg.pc_range, cfg.grid_size,
-            cfg.max_voxels, cfg.max_points_per_voxel,
-        )
-
-    res = jax.jit(voxelize)(points, valid)
-    model = CenterPoint(cfg)
-    variables = jax.jit(
-        lambda f, c: model.init(jax.random.PRNGKey(0), f, c, train=False)
-    )(res.features, res.coords)
-
-    @jax.jit
-    def infer(variables, points, valid):
-        res = voxelize(points, valid)
-        preds, _ = model.apply(variables, res.features, res.coords, train=False)
-        return centerpoint_predict(cfg, preds)
-
-    def force(out):
-        # fetch a scalar to the host: block_until_ready alone does not
-        # guarantee execution completed through the remote-TPU relay
-        return float(out["scores"].sum())
-
-    # compile + warmup
-    force(infer(variables, points, valid))
-
-    # throughput timing: dispatch asynchronously and force ONCE at the end
-    # (each scalar fetch through the relay costs ~30ms of pure round trip,
-    # which a co-located serving host never pays; dispatches queue on the
-    # device and the final fetch transitively forces them all)
-    iters = 10
-    fps_runs = []
-    for _ in range(2):  # best-of-2: the relay occasionally stalls a run
-        t0 = time.perf_counter()
-        outs = [infer(variables, points, valid) for _ in range(iters)]
-        s = 0.0
-        for o in outs:
-            s += o["scores"].sum()
-        float(s)
-        dt = time.perf_counter() - t0
-        fps_runs.append(round(iters / dt, 3))
-    fps = max(fps_runs)
-
-    result = {
-        "metric": "centerpoint_0075voxel_infer_fps_bs1",
-        "value": round(fps, 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / 11.0, 3),
-        # both timing loops, so the best-of-2 choice is auditable (ADVICE r2)
-        "fps_runs": fps_runs,
-    }
+    if smoke:  # train/fused sections are separately tested; keep smoke fast
+        print(json.dumps(result))
+        return
 
     # training throughput (driver-visible; guarded so a failure or slow
     # compile can never lose the headline metric)

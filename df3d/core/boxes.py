@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def rotation_matrix_z(angle: jax.Array) -> jax.Array:
@@ -41,12 +42,14 @@ def rotate_points_along_z(points: jax.Array, angle: jax.Array) -> jax.Array:
     return jnp.concatenate([rotated, points[..., 3:]], axis=-1)
 
 
-_CORNER_SIGNS = jnp.array(
+# numpy (not jnp): a module-level jnp array would initialize the default
+# jax backend at import time (dials the remote TPU relay on this image)
+_CORNER_SIGNS = np.array(
     [
         [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
         [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )  # (8, 3) order matches pcdet boxes_to_corners_3d
 
 

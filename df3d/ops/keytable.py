@@ -43,11 +43,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 BLOCK_CELLS = 448
 _W = BLOCK_CELLS // 32  # 14 words per block
-_FULL = jnp.uint32(0xFFFFFFFF)
+# numpy (not jnp) scalar: a module-level jnp constant would initialize the
+# default jax backend at import time — on this image that dials the remote
+# TPU relay before callers can select CPU (and hangs if the relay is down)
+_FULL = np.uint32(0xFFFFFFFF)
 
 _ROW_DN_T = lax.GatherDimensionNumbers(
     offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)

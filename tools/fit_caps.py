@@ -54,11 +54,11 @@ def main():
     cfg = preset["lidar"] if isinstance(preset, dict) else preset
 
     if args.synthetic:
-        from df3d.utils.synth import make_frame
+        from df3d.utils.synth import make_raycast_frame
 
         def frames():
             for i in range(args.frames):
-                yield make_frame(
+                yield make_raycast_frame(
                     np.random.RandomState(i), args.max_points,
                     extra_features=cfg.num_point_features - 3)
     else:

@@ -130,8 +130,9 @@ def main():
         "vs_baseline": round(fps / 11.0, 3),
         # both timing loops, so the best-of-2 choice is auditable (ADVICE r2)
         "fps_runs": fps_runs,
-        "workload": "raycast_10sweep_fitted_caps",
-        "stage_caps": list(REALISTIC_STAGE_CAPS),
+        "workload": ("raycast_smoke" if smoke
+                     else "raycast_10sweep_fitted_caps"),
+        "stage_caps": list(real_caps),
     }
 
     # --- saturated workload (rounds 1-2 conditions, for comparability) ---

@@ -118,6 +118,11 @@ class SpMiddleResNetFHD(nn.Module):
             x_conv4 = SparseBasicBlock(c4, name="res4b")(x, spec_s, train)
 
             if self.fusion_hook is not None:
+                # dense->sparse is the one truncation point on the dense
+                # tail; surface it like the plan-based stages do
+                self.sow("intermediates", "cap_overflow_dense_tail",
+                         jnp.maximum(
+                             x_conv4.mask.sum(dtype=jnp.int32) - n4, 0))
                 x_conv4_sp = sparsify(x_conv4, n4)
                 x_conv4_sp = self.fusion_hook(
                     self, [x_conv2, x_conv3, x_conv4_sp], train,
@@ -225,6 +230,8 @@ class SparseEncoder(nn.Module):
             )
 
             if self.fusion_hook is not None:
+                self.sow("intermediates", "cap_overflow_dense_tail",
+                         jnp.maximum(x.mask.sum(dtype=jnp.int32) - n4, 0))
                 stage_outs[-1] = sparsify(x, n4)
                 x_sp = self.fusion_hook(
                     self, stage_outs, train, **(fusion_kwargs or {}))

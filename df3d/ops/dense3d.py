@@ -27,14 +27,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Compute dtype for dense conv bodies (None = feature dtype). bf16 is the
-# MXU-native fast path; accumulation stays f32 via preferred_element_type.
-_COMPUTE_DTYPE = None
+from df3d.ops import sparse as _sparse
+from df3d.ops.sparse import _triple
 
 
 def set_compute_dtype(dtype):
-    global _COMPUTE_DTYPE
-    _COMPUTE_DTYPE = dtype
+    """One knob for the whole 3D backbone: delegates to ops.sparse so the
+    sparse gather-GEMM taps and the dense-tail convs can't drift apart
+    (accumulation stays f32 via preferred_element_type either way)."""
+    _sparse.set_compute_dtype(dtype)
 
 
 _DN = lax.conv_dimension_numbers(
@@ -86,10 +87,6 @@ class DenseConvSpec:
         return kz * ky * kx
 
 
-def _triple(v):
-    return (v, v, v) if isinstance(v, int) else tuple(v)
-
-
 def densify(st, dtype=None) -> DenseTensor:
     """SparseTensor (B, N, C) + coords -> DenseTensor. Padding rows
     (coords -1) are dropped by clip+mask."""
@@ -132,10 +129,14 @@ def sparsify(dt: DenseTensor, max_rows: int):
     for bi in range(b):
         m, f = flat_m[bi], flat_f[bi]
         rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        slot = jnp.where(m, jnp.minimum(rank, max_rows - 1), max_rows)
+        # overflow rows (rank >= max_rows) go to the drop slot, NOT slot
+        # max_rows-1 (which would overwrite the legitimately-kept row);
+        # no indices_are_sorted hint — the max_rows sentinels interleave
+        # with the ranks, so the sequence is not nondecreasing (and v5e
+        # scatters don't reward the hint anyway, CLAUDE.md rule 8)
+        slot = jnp.where(m & (rank < max_rows), rank, max_rows)
         key_of = jnp.full((max_rows + 1,), -1, jnp.int32).at[slot].set(
             jnp.arange(cells, dtype=jnp.int32), mode="drop",
-            indices_are_sorted=True,
         )[:-1]
         ok = key_of >= 0
         k = jnp.maximum(key_of, 0)
@@ -164,7 +165,7 @@ def dense_conv(dt: DenseTensor, w_taps: jax.Array, ksize, stride=1,
     cin, cout = w_taps.shape[1:]
     w = w_taps.reshape(kz, ky, kx, cin, cout)
     x = dt.features
-    cd = _COMPUTE_DTYPE
+    cd = _sparse._COMPUTE_DTYPE
     if cd is not None:
         x, w = x.astype(cd), w.astype(cd)
     pads = tuple((p, p) for p in padding)

@@ -196,7 +196,11 @@ def lookup3(packed: jax.Array, qc: jax.Array, any_ok: jax.Array):
             rank = rank + lax.population_count(
                 words[i] & mask).astype(jnp.int32)
             hit_word = jnp.where(jw == i, words[i], hit_word)
-        hit = ((hit_word >> jb) & jnp.uint32(1)).astype(bool) & (e >= 0)
+        # mask by any_ok: clip-mode routed never-queried rows to the LAST
+        # real block, whose bits would otherwise fabricate hits (lookup's
+        # contract: q_ok=False -> hit False)
+        hit = (((hit_word >> jb) & jnp.uint32(1)).astype(bool)
+               & (e >= 0) & any_ok)
         ranks.append(rank)
         hits.append(hit)
     return jnp.stack(ranks), jnp.stack(hits)

@@ -105,7 +105,10 @@ def _bwd(tile, interpret, res, g):
             flat, jnp.zeros((flat.shape[0], n_out, 3), jnp.int32),
             (1, 1, 1), (k, 1, 1),
         )
-        return sparse_xla.apply_sparse_conv(f, plan, w)
+        # force_xla: with PALLAS_V2_CONV routing enabled this reference
+        # function would otherwise re-enter the pallas path and its own
+        # custom vjp — unbounded trace-time recursion
+        return sparse_xla.apply_sparse_conv(f, plan, w, force_xla=True)
 
     _, vjp = jax.vjp(ref_fn, features, weights)
     df, dw = vjp(g)
@@ -190,7 +193,14 @@ def apply_sparse_conv_pallas_v2(features, plan_gather_idx, weights,
                                 table_dtype=None, interpret=False):
     """Batched v2 fused conv: features (B, N, Cin); plan_gather_idx
     (B, K, N_out) or flat (B, K*N_out) with N = miss; weights (K, Cin,
-    Cout) -> (B, N_out, Cout)."""
+    Cout) -> (B, N_out, Cout).
+
+    KNOWN COST CANDIDATE: the flat->(K, N_out) reshape + pad of a ~3M-int
+    plan stream retiles T(1024)->T(8,128) (CLAUDE.md v5e rule 5, ~30 ms
+    measured for a same-scale reshape). r3_probe15 measures the full-model
+    path including this; if the kernel wins but the reshape eats it, cache
+    the padded 2D form on the ConvPlan (built once, shared by every conv
+    on the plan)."""
     b, n, cin = features.shape
     if plan_gather_idx.ndim == 2:
         plan_gather_idx = plan_gather_idx.reshape(b, weights.shape[0], -1)

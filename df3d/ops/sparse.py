@@ -597,7 +597,7 @@ def set_compute_dtype(dtype):
 
 
 def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
-                      precision=None) -> jax.Array:
+                      precision=None, force_xla: bool = False) -> jax.Array:
     """Gather-GEMM conv body (pull formulation, no scatter).
 
     features (B, N_in, Cin); weights (K, Cin, Cout) with K = prod(kernel)
@@ -620,7 +620,7 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
     k = plan.num_taps
     n_out = plan.gather_idx.shape[1] // k
 
-    if PALLAS_V2_CONV:
+    if PALLAS_V2_CONV and not force_xla:
         # whole-table-resident Mosaic kernel (per-lane row permutation +
         # fused MXU accumulate); plan.gather_idx rows are per-sample with
         # miss == n_in == the kernel's zero pad row

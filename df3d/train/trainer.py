@@ -54,12 +54,14 @@ def make_centerpoint_train_step(model: CenterPoint, cfg: CenterPointConfig) -> C
         def loss_fn(params):
             (preds, _), updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                res.features, res.coords, train=True, mutable=["batch_stats"],
+                res.features, res.coords, train=True,
+                mutable=["batch_stats", "intermediates"],
             )
             total, logs = centerpoint_loss(
                 cfg, preds, batch["gt_boxes"], batch["gt_classes"],
                 batch["gt_valid"],
             )
+            logs["cap_overflow"] = _overflow_log(updates)
             return total, (logs, updates)
 
         (_, (logs, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -115,7 +117,8 @@ def make_voxelrcnn_train_step(model, head, cfg, fused: bool = False) -> Callable
             preds, updates = model.apply(
                 {"params": params["rpn"],
                  "batch_stats": state.batch_stats["rpn"]},
-                *fwd_args, train=True, mutable=["batch_stats"],
+                *fwd_args, train=True,
+                mutable=["batch_stats", "intermediates"],
             )
             rois, roi_scores, roi_mask = proposal_layer(
                 cfg, preds, anchors, train=True
@@ -136,6 +139,7 @@ def make_voxelrcnn_train_step(model, head, cfg, fused: bool = False) -> Callable
             total, logs = voxel_rcnn_train_losses(
                 cfg, preds, {"cls": cls, "reg": reg}, rpn_targets, rcnn_targets
             )
+            logs["cap_overflow"] = _overflow_log(updates)
             return total, (logs, updates, r_updates)
 
         (_, (logs, updates, r_updates)), grads = jax.value_and_grad(
@@ -168,12 +172,14 @@ def make_transfusion_train_step(model, cfg) -> Callable:
         def loss_fn(params):
             (preds, _), updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                res.features, res.coords, train=True, mutable=["batch_stats"],
+                res.features, res.coords, train=True,
+                mutable=["batch_stats", "intermediates"],
             )
             total, logs = transfusion_loss(
                 cfg, preds, batch["gt_boxes"], batch["gt_classes"],
                 batch["gt_valid"],
             )
+            logs["cap_overflow"] = _overflow_log(updates)
             return total, (logs, updates)
 
         (_, (logs, updates)), grads = jax.value_and_grad(
@@ -203,6 +209,28 @@ def _collect_sown(tree, leaf_name):
 
     walk(tree)
     return found
+
+
+def _overflow_log(updates):
+    """Total of every `cap_overflow_*` sow (backbones_3d._sow_overflow +
+    the dense-tail sparsify) -> scalar int32 for the step logs. Unused
+    sibling sows are DCE'd by jit since only this scalar leaves loss_fn.
+    0 when the model sows nothing (e.g. dense_tail with no strided plans
+    capped)."""
+    total = jnp.int32(0)
+
+    def walk(node):
+        nonlocal total
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k.startswith("cap_overflow"):
+                    for leaf in jax.tree_util.tree_leaves(v):
+                        total = total + leaf.sum().astype(jnp.int32)
+                else:
+                    walk(v)
+
+    walk(updates.get("intermediates", {}))
+    return total
 
 
 def make_fused_train_step(model, lidar_cfg, aux: bool = False,
@@ -243,7 +271,7 @@ def make_fused_train_step(model, lidar_cfg, aux: bool = False,
         )
 
         def loss_fn(params):
-            mut = ["batch_stats", "intermediates"] if aux else ["batch_stats"]
+            mut = ["batch_stats", "intermediates"]
             (preds, _), updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 res.features, res.coords, batch["images"], batch["proj"],
@@ -253,6 +281,11 @@ def make_fused_train_step(model, lidar_cfg, aux: bool = False,
             if aux:
                 inter = updates["intermediates"]
                 seg = _collect_sown(inter, "aux_seg_logits")
+                if not seg:
+                    raise ValueError(
+                        "aux=True needs a model built with "
+                        "FusedConfig.with_aux_seg=True (no aux_seg_logits "
+                        "were sown)")
                 proj = batch["proj"]
                 gt_boxes, gt_valid = batch["gt_boxes"], batch["gt_valid"]
                 if proj.ndim == 4:  # multicam: fold cameras into batch
@@ -270,6 +303,7 @@ def make_fused_train_step(model, lidar_cfg, aux: bool = False,
                 )
                 total = total + a_total
                 logs = dict(logs, **a_logs, loss=total)
+            logs["cap_overflow"] = _overflow_log(updates)
             return total, (logs, updates)
 
         (_, (logs, updates)), grads = jax.value_and_grad(

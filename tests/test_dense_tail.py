@@ -197,3 +197,23 @@ def test_dense_tail_exceeds_sparse_cap_fidelity():
     # dense BEV carries energy the truncated sparse one lost
     assert float(np.abs(np.asarray(bev_dn)).sum()) > float(
         np.abs(np.asarray(bev_sp)).sum())
+
+
+def test_sparsify_overflow_keeps_lowest_keys():
+    """Overflow rows must go to the drop slot, not overwrite the last kept
+    row (r3 review finding): with cap < active cells, sparsify keeps
+    exactly the cap-many LOWEST-key sites."""
+    rng = np.random.RandomState(3)
+    st = _random_st(rng)
+    dt = densify(st)
+    cap = 40  # < 70 active per sample
+    st2 = sparsify(dt, cap)
+    z, y, x = dt.spatial_shape
+    for bi in range(dt.batch_size):
+        m = np.asarray(dt.mask[bi]).reshape(-1)
+        keys_sorted = np.sort(np.nonzero(m)[0])
+        kept = keys_sorted[:cap]
+        got = np.asarray(st2.coords[bi])
+        got_keys = got[:, 0] * y * x + got[:, 1] * x + got[:, 2]
+        assert (got[:, 0] >= 0).all()  # cap fully used, no padding rows
+        np.testing.assert_array_equal(np.sort(got_keys), kept)

@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--max-points", type=int, default=260_000)
     p.add_argument("--image-shape", type=int, nargs=2, default=None)
+    p.add_argument("--aux-loss", action="store_true",
+                   help="checkpoint was trained with --aux-loss (fused "
+                        "models: include aux_seg params in the template)")
     p.add_argument("--out", default=None)
     p.add_argument("--tta", choices=["double_flip"], default=None,
                    help="test-time augmentation (det3d double-flip)")
@@ -90,6 +93,9 @@ def build_eval(args, preset):
             n_levels=preset["actr"].n_levels, num_cams=num_cams,
             image_branch="resnet_fpn"
             if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3",
+            # checkpoints trained with tools/train.py --aux-loss carry
+            # aux_seg params; the restore template must match
+            with_aux_seg=getattr(args, "aux_loss", False),
         )
         images = jnp.zeros((1, num_cams, *image_shape, 3))
         proj = jnp.zeros((1, num_cams, 3, 4))

@@ -195,6 +195,12 @@ class ConvPlan:
     # this makes df3d's cap overflow observable: overflow = max(0,
     # true_occ - N_out); see CLAUDE.md stage-cap fidelity note)
     true_occ: jax.Array | None = None  # (B,) int32, or None (subm plans)
+    # PALLAS_V2_CONV only: (B, K, N_in+1) tap-major rows pre-padded to the
+    # kernel's table height, built ONCE per plan behind the same barrier.
+    # The flat->(K, N) retiling of a ~3M-int stream costs ~30 ms (v5e rule
+    # 5); paying it per-plan instead of per-conv amortizes it across every
+    # layer sharing the plan.
+    idx2d: jax.Array | None = None
 
     @property
     def num_taps(self) -> int:
@@ -209,6 +215,24 @@ class ConvPlan:
         """(B, K, N_out) view for tests/debug (pays a relayout on TPU)."""
         return self.gather_idx.reshape(
             self.gather_idx.shape[0], self.num_taps, -1)
+
+
+def _maybe_idx2d(gather: jax.Array, k: int, n_in: int):
+    """(B, K*N_out) -> (B, K, N_in+1) pre-padded for the v2 pallas kernel
+    (pad queries point at the miss/zero row n_in). None unless the pallas
+    route is enabled, or when N_out exceeds the table height (the
+    whole-table permutation kernel requires N_out <= N_in+1)."""
+    if not PALLAS_V2_CONV:
+        return None
+    b = gather.shape[0]
+    n_out = gather.shape[1] // k
+    if n_out > n_in + 1:
+        return None
+    g2 = gather.reshape(b, k, n_out)
+    if n_out < n_in + 1:
+        g2 = jnp.pad(g2, ((0, 0), (0, 0), (0, n_in + 1 - n_out)),
+                     constant_values=n_in)
+    return g2
 
 
 def _centered_offsets(ksize):
@@ -325,13 +349,17 @@ def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
     # materialize: without the barrier XLA fuses the rulebook build into
     # every consumer conv's gather-index computation, re-running the table
     # lookups once per layer that shares the plan
-    if x3 is None:
-        gather = jax.lax.optimization_barrier(gather)
-    else:
-        gather, x3 = jax.lax.optimization_barrier((gather, x3))
+    idx2d = _maybe_idx2d(gather, ksize[0] * ksize[1] * ksize[2],
+                         st.features.shape[1])
+    parts = jax.lax.optimization_barrier(
+        tuple(p for p in (gather, x3, idx2d) if p is not None))
+    parts = list(parts)
+    gather = parts.pop(0)
+    x3 = parts.pop(0) if x3 is not None else None
+    idx2d = parts.pop(0) if idx2d is not None else None
     return ConvPlan(
         gather, st.coords, st.spatial_shape, ksize,
-        out_rows_sorted=st.rows_sorted, x3=x3,
+        out_rows_sorted=st.rows_sorted, x3=x3, idx2d=idx2d,
     )
 
 
@@ -573,15 +601,18 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         if use_x3 else None
     )
     true_occ = jnp.stack([o[3] for o in outs])
-    if x3 is None:
-        gather, out_coords = jax.lax.optimization_barrier(
-            (gather, out_coords))
-    else:
-        gather, out_coords, x3 = jax.lax.optimization_barrier(
-            (gather, out_coords, x3))
+    idx2d = _maybe_idx2d(gather, ksize[0] * ksize[1] * ksize[2],
+                         st.features.shape[1])
+    parts = jax.lax.optimization_barrier(
+        tuple(p for p in (gather, out_coords, x3, idx2d) if p is not None))
+    parts = list(parts)
+    gather = parts.pop(0)
+    out_coords = parts.pop(0)
+    x3 = parts.pop(0) if x3 is not None else None
+    idx2d = parts.pop(0) if idx2d is not None else None
     return ConvPlan(
         gather, out_coords, (oz, oy, ox), ksize, out_rows_sorted=True,
-        x3=x3, true_occ=true_occ,
+        x3=x3, true_occ=true_occ, idx2d=idx2d,
     )
 
 
@@ -620,19 +651,23 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
     k = plan.num_taps
     n_out = plan.gather_idx.shape[1] // k
 
-    if PALLAS_V2_CONV and not force_xla:
+    if PALLAS_V2_CONV and not force_xla and n_out <= n_in + 1:
         # whole-table-resident Mosaic kernel (per-lane row permutation +
         # fused MXU accumulate); plan.gather_idx rows are per-sample with
-        # miss == n_in == the kernel's zero pad row
+        # miss == n_in == the kernel's zero pad row. Prefer the plan's
+        # pre-padded idx2d (one flat->2D retiling per PLAN, not per conv);
+        # plans built before set_pallas_conv(True) lack it and pay the
+        # reshape here.
         from df3d.ops.pallas.sparse_conv_kernel import (
             apply_sparse_conv_pallas_v2,
         )
 
+        idx = (plan.idx2d if plan.idx2d is not None
+               else plan.gather_idx.reshape(b, k, n_out))
         out = apply_sparse_conv_pallas_v2(
-            features, plan.gather_idx.reshape(b, k, n_out), weights,
-            table_dtype=_COMPUTE_DTYPE,
+            features, idx, weights, table_dtype=_COMPUTE_DTYPE,
         )
-        return out.astype(features.dtype)
+        return out[:, :n_out].astype(features.dtype)
 
     # x-triple path (r3): one wide single-row gather serves the 3
     # x-adjacent taps of each (dz, dy) group. v5e single-row gathers stay

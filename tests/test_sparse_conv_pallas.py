@@ -130,3 +130,39 @@ def test_pallas_v2_routing_switch():
         sp.set_pallas_conv(False)
         K.apply_sparse_conv_pallas_v2 = orig
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_plan_idx2d_prepadded_matches():
+    """With the pallas route enabled, plans carry a pre-padded (B, K, N+1)
+    idx2d (one flat->2D retiling per plan); the kernel fed with it must
+    match the XLA conv after slicing off the pad queries. Covers subm
+    (N_out == N_in) and strided (N_out < N_in) plans."""
+    from df3d.ops import sparse as sp
+    from df3d.ops.pallas.sparse_conv_kernel import apply_sparse_conv_pallas_v2
+    from df3d.ops.sparse import build_conv_plan
+
+    rng = np.random.RandomState(4)
+    st = _random_sparse(rng)
+    n_in = st.features.shape[1]
+    sp.set_pallas_conv(True)
+    try:
+        subm = build_subm_plan(st, 3)
+        down = build_conv_plan(st, 3, 2, 1, max_out=n_in // 2)
+    finally:
+        sp.set_pallas_conv(False)
+    for plan in (subm, down):
+        k = plan.num_taps
+        n_out = plan.num_out_rows
+        assert plan.idx2d is not None
+        assert plan.idx2d.shape == (st.batch_size, k, n_in + 1)
+        np.testing.assert_array_equal(
+            np.asarray(plan.idx2d[:, :, :n_out]),
+            np.asarray(plan.gather_idx.reshape(st.batch_size, k, n_out)))
+        assert (np.asarray(plan.idx2d[:, :, n_out:]) == n_in).all()
+        w = jnp.asarray(
+            rng.randn(k, 8, 16).astype(np.float32) * 0.1)
+        want = np.asarray(apply_sparse_conv(
+            st.features, plan, w, force_xla=True))
+        got = np.asarray(apply_sparse_conv_pallas_v2(
+            st.features, plan.idx2d, w, interpret=True))[:, :n_out]
+        np.testing.assert_allclose(got, want, atol=1e-4)

@@ -224,7 +224,14 @@ def main():
         )
         from df3d.models.fusion.actr import ACTRConfig
 
-        tcfg = TransFusionConfig()
+        # realistic workload here too: SparseEncoder's down-conv dilation
+        # chain (pads 1, 1, (0,1,1)) matches the CenterPoint one the caps
+        # were fitted on; lidar input is a ray-cast frame
+        tcfg = TransFusionConfig(
+            max_voxels=REALISTIC_STAGE_CAPS[0],
+            stage_caps=REALISTIC_STAGE_CAPS,
+        )
+        f_points, f_valid = real_frames[0]
         fcfg = FusedConfig(
             image_shape=(448, 800), image_branch="resnet_fpn", num_cams=6,
             actr=ACTRConfig(n_levels=3, model_name="ACTRv2", hybrid=True),
@@ -241,7 +248,7 @@ def main():
                 p, v, tcfg.voxel_size, tcfg.pc_range, tcfg.grid_size,
                 tcfg.max_voxels, tcfg.max_points_per_voxel)
 
-        tres = jax.jit(t_voxelize)(points, valid)
+        tres = jax.jit(t_voxelize)(f_points, f_valid)
         fmodel = TransFusion3DDF(tcfg, fcfg)
         fvars = jax.jit(lambda f, c, im, pr: fmodel.init(
             jax.random.PRNGKey(0), f, c, im, pr, train=False
@@ -254,13 +261,14 @@ def main():
                 fvars, r.features, r.coords, im, pr, train=False)
             return transfusion_predict(tcfg, preds)["scores"].sum()
 
-        float(fused_infer(fvars, points, valid, images, proj))  # compile
+        float(fused_infer(fvars, f_points, f_valid, images, proj))  # compile
         fiters = 5
         t0 = time.perf_counter()
         s = 0.0
         for _ in range(fiters):
-            s += fused_infer(fvars, points, valid, images, proj)
+            s += fused_infer(fvars, f_points, f_valid, images, proj)
         float(s)
+        result["fused_workload"] = "raycast_fitted_caps"
         result["fused_transfusion3ddf_ms_frame"] = round(
             (time.perf_counter() - t0) / fiters * 1000.0, 1)
     except Exception as e:  # pragma: no cover

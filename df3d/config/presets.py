@@ -33,6 +33,8 @@ def _centerpoint_3ddf():
         ),
         "max_ne_voxel": 26000,
         "num_cams": 6,
+        # 6-cam nuScenes operating point (det3d multimodal config)
+        "image_shape": (448, 800),
     }
 
 
@@ -49,6 +51,7 @@ def _transfusion_3ddf():
         ),
         "max_ne_voxel": 26000,
         "num_cams": 6,
+        "image_shape": (448, 800),
     }
 
 
@@ -64,6 +67,11 @@ def _voxel_rcnn_3ddf():
             attn_layer="BiGateSum1D_2", model_name="ACTRv2",
         ),
         "max_ne_voxel": 13000,
+        # KITTI operating point: 375x1242 frames pad to 384x1280 (reference
+        # voxel_rcnn_car_mm_mvx+actrv2_hybrid_ifat.yaml), NOT the nuScenes
+        # 448x800 — resizing KITTI to 448x800 would crush rows to 242 with
+        # ~46% dead padding
+        "image_shape": (384, 1280),
     }
 
 

@@ -162,8 +162,16 @@ class KittiDataset:
 
     def __init__(self, root, info_path, class_names=("Car",), training=True,
                  use_cpp_loader: bool = True, load_images: bool = False,
-                 image_shape: tuple[int, int] = (384, 1280)):
+                 image_shape: tuple[int, int] = (384, 1280),
+                 split: str | None = None):
         self.root = pathlib.Path(root)
+        # pcdet root_split_path: train/val infos live under training/,
+        # the test split under testing/ (kitti_dataset.py set_split);
+        # inferred from the info filename unless given explicitly
+        if split is None:
+            split = ("testing" if "test" in pathlib.Path(info_path).name
+                     else "training")
+        self.split_dir = split
         with open(info_path, "rb") as f:
             self.infos = pickle.load(f)
         self.class_names = class_names
@@ -198,7 +206,7 @@ class KittiDataset:
         return points[keep]
 
     def load_points(self, idx: str) -> np.ndarray:
-        path = self.root / "training" / "velodyne" / f"{idx}.bin"
+        path = self.root / self.split_dir / "velodyne" / f"{idx}.bin"
         if self._cpp is not None:
             return self._cpp.read_point_bin(str(path), 4)
         return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
@@ -235,7 +243,7 @@ class KittiDataset:
             from df3d.data.images import decode_image
 
             img_path = (
-                self.root / "training" / "image_2" / f"{sample_idx}.png")
+                self.root / self.split_dir / "image_2" / f"{sample_idx}.png")
             out["image"] = decode_image(img_path)
         if "annos" in info:
             annos = info["annos"]

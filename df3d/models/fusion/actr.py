@@ -55,6 +55,10 @@ class ACTRConfig:
     lt_nsample: int = 32
     lt_num_layers: int = 2
     lt_feat_agg: str = "replace"
+    # reference-exact FPS (chunks=1) + ball query (lax.top_k) for
+    # checkpoint-parity evals (ADVICE r2): `--set actr.exact_ops=true`.
+    # ~100x slower FPS on v5e — parity runs only.
+    exact_ops: bool = False
 
 
 class EncoderLayer(nn.Module):
@@ -178,6 +182,8 @@ class ACTR(nn.Module):
                 q = LocalTransformer(
                     c.lt_npoint, c.lt_radius, c.lt_nsample, c.d_model,
                     c.lt_num_layers, feat_agg_method=c.lt_feat_agg,
+                    fps_chunks=1 if c.exact_ops else None,
+                    exact_ball=c.exact_ops,
                     name=f"lidar_attn{i}",
                 )(q_lidar_grid, q, q_mask)
             q, qi = layer_cls(c, name=f"layer{i}")(

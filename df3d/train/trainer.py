@@ -75,7 +75,11 @@ def make_centerpoint_train_step(model: CenterPoint, cfg: CenterPointConfig) -> C
     return train_step
 
 
-def make_voxelrcnn_train_step(model, head, cfg, fused: bool = False) -> Callable:
+def make_voxelrcnn_train_step(model, head, cfg, fused: bool = False,
+                              aux: bool = False, image_hw=None,
+                              aux_seg_weight: float = 1.0,
+                              aux_consistency_weight: float = 0.1,
+                              ) -> Callable:
     """Two-stage Voxel R-CNN train step: RPN targets/loss + proposal NMS +
     ROI sampling + RCNN head/loss (pcdet train_one_epoch semantics).
 
@@ -139,6 +143,13 @@ def make_voxelrcnn_train_step(model, head, cfg, fused: bool = False) -> Callable
             total, logs = voxel_rcnn_train_losses(
                 cfg, preds, {"cls": cls, "reg": reg}, rpn_targets, rcnn_targets
             )
+            if aux:  # fused VoxelRCNN3DDF aux seg/consistency objectives
+                a_total, a_logs = _fused_aux_terms(
+                    updates, batch, image_hw,
+                    aux_seg_weight, aux_consistency_weight)
+                total = total + a_total
+                logs = dict(logs, **a_logs)
+                logs["loss"] = total
             logs["cap_overflow"] = _overflow_log(updates)
             return total, (logs, updates, r_updates)
 
@@ -211,6 +222,36 @@ def _collect_sown(tree, leaf_name):
     return found
 
 
+def _fused_aux_terms(updates, batch, image_hw, seg_weight,
+                     consistency_weight):
+    """Aux seg + consistency losses from sown intermediates — shared by
+    make_fused_train_step and the fused VoxelRCNN step (ref
+    SemanticSeg/aux_seg_loss.py AuxImgSegmentLoss:20 +
+    AuxConsistencyLoss:181)."""
+    from df3d.models.fusion.aux_heads import fused_aux_losses
+
+    inter = updates["intermediates"]
+    seg = _collect_sown(inter, "aux_seg_logits")
+    if not seg:
+        raise ValueError(
+            "aux=True needs a model built with "
+            "FusedConfig.with_aux_seg=True (no aux_seg_logits were sown)")
+    proj = batch["proj"]
+    gt_boxes, gt_valid = batch["gt_boxes"], batch["gt_valid"]
+    if proj.ndim == 4:  # multicam: fold cameras into batch
+        b, nc = proj.shape[:2]
+        proj = proj.reshape(b * nc, 3, 4)
+        gt_boxes = jnp.repeat(gt_boxes, nc, axis=0)
+        gt_valid = jnp.repeat(gt_valid, nc, axis=0)
+    pairs = _collect_sown(inter, "aux_consistency")
+    vf, ifeat, vmask = pairs[0] if pairs else (None, None, None)
+    return fused_aux_losses(
+        seg[0], gt_boxes, gt_valid, proj, image_hw,
+        voxel_feats=vf, image_feats_at_voxels=ifeat, voxel_mask=vmask,
+        seg_weight=seg_weight, consistency_weight=consistency_weight,
+    )
+
+
 def _overflow_log(updates):
     """Total of every `cap_overflow_*` sow (backbones_3d._sow_overflow +
     the dense-tail sparsify) -> scalar int32 for the step logs. Unused
@@ -279,28 +320,9 @@ def make_fused_train_step(model, lidar_cfg, aux: bool = False,
             )
             total, logs = loss_fn_family(preds, batch)
             if aux:
-                inter = updates["intermediates"]
-                seg = _collect_sown(inter, "aux_seg_logits")
-                if not seg:
-                    raise ValueError(
-                        "aux=True needs a model built with "
-                        "FusedConfig.with_aux_seg=True (no aux_seg_logits "
-                        "were sown)")
-                proj = batch["proj"]
-                gt_boxes, gt_valid = batch["gt_boxes"], batch["gt_valid"]
-                if proj.ndim == 4:  # multicam: fold cameras into batch
-                    b, nc = proj.shape[:2]
-                    proj = proj.reshape(b * nc, 3, 4)
-                    gt_boxes = jnp.repeat(gt_boxes, nc, axis=0)
-                    gt_valid = jnp.repeat(gt_valid, nc, axis=0)
-                pairs = _collect_sown(inter, "aux_consistency")
-                vf, ifeat, vmask = pairs[0] if pairs else (None, None, None)
-                a_total, a_logs = fused_aux_losses(
-                    seg[0], gt_boxes, gt_valid, proj, image_hw,
-                    voxel_feats=vf, image_feats_at_voxels=ifeat,
-                    voxel_mask=vmask, seg_weight=aux_seg_weight,
-                    consistency_weight=aux_consistency_weight,
-                )
+                a_total, a_logs = _fused_aux_terms(
+                    updates, batch, image_hw,
+                    aux_seg_weight, aux_consistency_weight)
                 total = total + a_total
                 logs = dict(logs, **a_logs, loss=total)
             logs["cap_overflow"] = _overflow_log(updates)

@@ -50,105 +50,37 @@ def parse_args():
 
 
 def build_eval(args, preset):
-    """-> (state_template, eval_step, lidar_cfg, family, fused_extra)."""
-    import jax
-    import jax.numpy as jnp
+    """-> (state_template, eval_step, lidar_cfg, family, fused_extra).
 
-    from df3d.models.detectors.centerpoint import CenterPoint, CenterPointConfig
-    from df3d.models.detectors.fused import (
-        CenterPoint3DDF, FusedConfig, TransFusion3DDF, VoxelRCNN3DDF,
-    )
-    from df3d.models.detectors.transfusion import (
-        TransFusionConfig, TransFusionL,
-    )
-    from df3d.models.detectors.voxel_rcnn import VoxelRCNN, VoxelRCNNConfig
-    from df3d.models.heads.voxelrcnn_head import VoxelRCNNHead
-    from df3d.ops.voxelize import voxelize_batch
+    Template construction shared with tools/train.py via
+    df3d.models.build.build_detector (one source of truth for checkpoint
+    compatibility: param tree, image branch, aux heads, image shape)."""
+    from df3d.models.build import build_detector
     from df3d.train.schedules import adam_onecycle
     from df3d.train.trainer import (
-        TrainState, make_centerpoint_eval_step, make_transfusion_eval_step,
+        make_centerpoint_eval_step, make_transfusion_eval_step,
         make_voxelrcnn_eval_step,
     )
 
     tx = adam_onecycle(1e-3, 1)
-    rng = jax.random.PRNGKey(0)
-    fused = isinstance(preset, dict)
-    lidar_cfg = preset["lidar"] if fused else preset
-
-    example_pts = jnp.zeros((1, 4096, lidar_cfg.num_point_features))
-    res = voxelize_batch(
-        example_pts, jnp.ones(example_pts.shape[:2], bool),
-        lidar_cfg.voxel_size, lidar_cfg.pc_range, lidar_cfg.grid_size,
-        lidar_cfg.max_voxels, lidar_cfg.max_points_per_voxel,
+    built = build_detector(
+        preset, tx, image_shape=args.image_shape,
+        # checkpoints trained with tools/train.py --aux-loss carry aux_seg
+        # params; the restore template must match
+        with_aux_seg=getattr(args, "aux_loss", False),
     )
-
-    fused_extra = None
-    fwd_extra = ()
-    if fused:
-        num_cams = preset.get("num_cams", 1)
-        image_shape = tuple(args.image_shape or (448, 800))
-        fused_extra = (num_cams, image_shape)
-        fcfg = FusedConfig(
-            image_shape=image_shape, actr=preset["actr"],
-            n_levels=preset["actr"].n_levels, num_cams=num_cams,
-            image_branch="resnet_fpn"
-            if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3",
-            # checkpoints trained with tools/train.py --aux-loss carry
-            # aux_seg params; the restore template must match
-            with_aux_seg=getattr(args, "aux_loss", False),
-        )
-        images = jnp.zeros((1, num_cams, *image_shape, 3))
-        proj = jnp.zeros((1, num_cams, 3, 4))
-        if num_cams == 1:
-            images, proj = images[:, 0], proj[:, 0]
-        fwd_extra = (images, proj)
-
-    if isinstance(lidar_cfg, VoxelRCNNConfig):
-        model = (VoxelRCNN3DDF(lidar_cfg, fcfg) if fused
-                 else VoxelRCNN(lidar_cfg))
-        v_rpn = model.init(
-            rng, res.features, res.coords, *fwd_extra, train=False)
-        head = VoxelRCNNHead(
-            lidar_cfg.rcnn, lidar_cfg.voxel_size, lidar_cfg.pc_range)
-        preds = model.apply(
-            v_rpn, res.features, res.coords, *fwd_extra, train=False)
-        rois = jnp.zeros(
-            (1, lidar_cfg.rcnn.roi_per_image, 7)).at[..., 3:6].set(1.0)
-        v_rcnn = head.init(
-            jax.random.PRNGKey(1), rois,
-            jnp.ones((1, lidar_cfg.rcnn.roi_per_image), bool), preds["ms"],
-            train=False,
-        )
-        state = TrainState.create(
-            apply_fn=model.apply,
-            params={"rpn": v_rpn["params"], "rcnn": v_rcnn["params"]},
-            tx=tx,
-            batch_stats={"rpn": v_rpn["batch_stats"],
-                         "rcnn": v_rcnn["batch_stats"]},
-        )
-        step = make_voxelrcnn_eval_step(model, head, lidar_cfg, fused=fused)
-        return state, step, lidar_cfg, "voxelrcnn", fused_extra
-
-    if isinstance(lidar_cfg, CenterPointConfig):
-        model = (CenterPoint3DDF(lidar_cfg, fcfg) if fused
-                 else CenterPoint(lidar_cfg))
-        family = "centerpoint"
-        mk = lambda m: make_centerpoint_eval_step(
-            m, lidar_cfg, tta=args.tta, fused=fused)
-    elif isinstance(lidar_cfg, TransFusionConfig):
-        model = (TransFusion3DDF(lidar_cfg, fcfg) if fused
-                 else TransFusionL(lidar_cfg))
-        family = "transfusion"
-        mk = lambda m: make_transfusion_eval_step(m, lidar_cfg, fused=fused)
+    fused_extra = ((built.num_cams, built.image_shape) if built.fused
+                   else None)
+    if built.family == "voxelrcnn":
+        step = make_voxelrcnn_eval_step(
+            built.model, built.head, built.lidar_cfg, fused=built.fused)
+    elif built.family == "centerpoint":
+        step = make_centerpoint_eval_step(
+            built.model, built.lidar_cfg, tta=args.tta, fused=built.fused)
     else:
-        raise SystemExit(f"unsupported preset type {type(lidar_cfg)}")
-    variables = model.init(
-        rng, res.features, res.coords, *fwd_extra, train=False)
-    state = TrainState.create(
-        apply_fn=model.apply, params=variables["params"], tx=tx,
-        batch_stats=variables["batch_stats"],
-    )
-    return state, mk(model), lidar_cfg, family, fused_extra
+        step = make_transfusion_eval_step(
+            built.model, built.lidar_cfg, fused=built.fused)
+    return built.state, step, built.lidar_cfg, built.family, fused_extra
 
 
 def build_dataset(args, fused_extra):

@@ -98,156 +98,60 @@ def make_synthetic_dataset(num_features, n=64, num_classes=10,
 
 
 def build_model_and_step(args, preset):
-    """-> (state, train_step, lidar_cfg, extra_batch_keys)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    """-> (state, train_step, lidar_cfg, extra_batch_keys).
 
-    from df3d.models.detectors.centerpoint import CenterPoint, CenterPointConfig
-    from df3d.models.detectors.fused import (
-        CenterPoint3DDF, FusedConfig, TransFusion3DDF, VoxelRCNN3DDF,
-    )
-    from df3d.models.detectors.transfusion import TransFusionConfig, TransFusionL
-    from df3d.models.detectors.voxel_rcnn import VoxelRCNN, VoxelRCNNConfig
-    from df3d.models.heads.voxelrcnn_head import VoxelRCNNHead
-    from df3d.ops.voxelize import voxelize_batch
+    Model/template construction is shared with tools/test.py via
+    df3d.models.build.build_detector so the two CLIs can never produce
+    checkpoint-incompatible templates."""
+    import jax
+
+    from df3d.models.build import build_detector
     from df3d.train.schedules import adam_onecycle
     from df3d.train.trainer import (
-        TrainState, make_centerpoint_train_step, make_fused_train_step,
+        make_centerpoint_train_step, make_fused_train_step,
         make_transfusion_train_step, make_voxelrcnn_train_step,
     )
 
     total_steps = max(args.epochs * args.steps_per_epoch, 1)
     tx = adam_onecycle(args.lr, total_steps)
-    rng = jax.random.PRNGKey(0)
-
-    fused = isinstance(preset, dict)
-    lidar_cfg = preset["lidar"] if fused else preset
-
-    example_pts = jnp.zeros(
-        (1, min(args.max_points, 4096), lidar_cfg.num_point_features)
+    aux = getattr(args, "aux_loss", False)
+    built = build_detector(
+        preset, tx, image_shape=args.image_shape, with_aux_seg=aux,
+        example_points=min(args.max_points, 4096),
     )
-    res = voxelize_batch(
-        example_pts, jnp.ones(example_pts.shape[:2], bool),
-        lidar_cfg.voxel_size, lidar_cfg.pc_range, lidar_cfg.grid_size,
-        lidar_cfg.max_voxels, lidar_cfg.max_points_per_voxel,
-    )
+    lidar_cfg = built.lidar_cfg
 
-    if fused:
-        num_cams = preset.get("num_cams", 1)
-        image_shape = tuple(args.image_shape or (448, 800))
-        fcfg = FusedConfig(
-            image_shape=image_shape, actr=preset["actr"],
-            n_levels=preset["actr"].n_levels, num_cams=num_cams,
-            image_branch="resnet_fpn"
-            if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3",
-            with_aux_seg=getattr(args, "aux_loss", False),
-        )
-        images = jnp.zeros((1, num_cams, *image_shape, 3))
-        proj = jnp.zeros((1, num_cams, 3, 4))
-        if isinstance(lidar_cfg, VoxelRCNNConfig):
-            # two-stage fused step (VoxelRCNN3DDF): RPN fwd carries images
-            model = VoxelRCNN3DDF(lidar_cfg, fcfg)
-            # single-cam KITTI model takes (B, H, W, 3)
-            im1 = images[:, 0] if num_cams == 1 else images
-            pr1 = proj[:, 0] if num_cams == 1 else proj
-            v_rpn = model.init(
-                rng, res.features, res.coords, im1, pr1, train=False)
-            head = VoxelRCNNHead(
-                lidar_cfg.rcnn, lidar_cfg.voxel_size, lidar_cfg.pc_range)
-            preds = model.apply(
-                v_rpn, res.features, res.coords, im1, pr1, train=False)
-            rois = jnp.zeros(
-                (1, lidar_cfg.rcnn.roi_per_image, 7)).at[..., 3:6].set(1.0)
-            v_rcnn = head.init(
-                jax.random.PRNGKey(1), rois,
-                jnp.ones((1, lidar_cfg.rcnn.roi_per_image), bool),
-                preds["ms"], train=False,
-            )
-            state = TrainState.create(
-                apply_fn=model.apply,
-                params={"rpn": v_rpn["params"], "rcnn": v_rcnn["params"]},
-                tx=tx,
-                batch_stats={"rpn": v_rpn["batch_stats"],
-                             "rcnn": v_rcnn["batch_stats"]},
-            )
-            base = make_voxelrcnn_train_step(model, head, lidar_cfg,
-                                             fused=True)
-
-            def step(state, batch):
-                if num_cams == 1 and batch["images"].ndim == 5:
-                    batch = dict(
-                        batch, images=batch["images"][:, 0],
-                        proj=batch["proj"][:, 0])
-                return base(
-                    state, batch,
-                    jax.random.fold_in(jax.random.PRNGKey(7), state.step),
-                )
-            return state, step, lidar_cfg, (num_cams, image_shape)
-        if isinstance(lidar_cfg, CenterPointConfig):
-            model = CenterPoint3DDF(lidar_cfg, fcfg)
-        elif isinstance(lidar_cfg, TransFusionConfig):
-            model = TransFusion3DDF(lidar_cfg, fcfg)
-        else:
-            raise SystemExit(f"unsupported fused host {type(lidar_cfg)}")
-        variables = model.init(
-            rng, res.features, res.coords, images, proj, train=False
-        )
-        state = TrainState.create(
-            apply_fn=model.apply, params=variables["params"], tx=tx,
-            batch_stats=variables["batch_stats"],
-        )
-        return state, make_fused_train_step(
-            model, lidar_cfg, aux=getattr(args, "aux_loss", False),
-            image_hw=image_shape,
-        ), lidar_cfg, (num_cams, image_shape)
-
-    if isinstance(lidar_cfg, CenterPointConfig):
-        model = CenterPoint(lidar_cfg)
-        variables = model.init(rng, res.features, res.coords, train=False)
-        state = TrainState.create(
-            apply_fn=model.apply, params=variables["params"], tx=tx,
-            batch_stats=variables["batch_stats"],
-        )
-        return state, make_centerpoint_train_step(model, lidar_cfg), lidar_cfg, None
-    if isinstance(lidar_cfg, TransFusionConfig):
-        model = TransFusionL(lidar_cfg)
-        variables = model.init(rng, res.features, res.coords, train=False)
-        state = TrainState.create(
-            apply_fn=model.apply, params=variables["params"], tx=tx,
-            batch_stats=variables["batch_stats"],
-        )
-        return state, make_transfusion_train_step(model, lidar_cfg), lidar_cfg, None
-    if isinstance(lidar_cfg, VoxelRCNNConfig):
-        model = VoxelRCNN(lidar_cfg)
-        v_rpn = model.init(rng, res.features, res.coords, train=False)
-        head = VoxelRCNNHead(
-            lidar_cfg.rcnn, lidar_cfg.voxel_size, lidar_cfg.pc_range
-        )
-        preds = model.apply(v_rpn, res.features, res.coords, train=False)
-        rois = jnp.zeros(
-            (1, lidar_cfg.rcnn.roi_per_image, 7)).at[..., 3:6].set(1.0)
-        v_rcnn = head.init(
-            jax.random.PRNGKey(1), rois,
-            jnp.ones((1, lidar_cfg.rcnn.roi_per_image), bool), preds["ms"],
-            train=False,
-        )
-        state = TrainState.create(
-            apply_fn=model.apply,
-            params={"rpn": v_rpn["params"], "rcnn": v_rcnn["params"]},
-            tx=tx,
-            batch_stats={"rpn": v_rpn["batch_stats"],
-                         "rcnn": v_rcnn["batch_stats"]},
-        )
-        base_step = make_voxelrcnn_train_step(model, head, lidar_cfg)
+    def rng_wrapped(base, squeeze_cams=False):
         # uniform (state, batch) signature: fold the rng from the step count
         def step(state, batch):
-            return base_step(
-                state, batch, jax.random.fold_in(jax.random.PRNGKey(7),
-                                                 state.step)
-            )
-        return state, step, lidar_cfg, None
-    raise SystemExit(f"unsupported preset type {type(preset)}")
+            if squeeze_cams and batch["images"].ndim == 5:
+                batch = dict(batch, images=batch["images"][:, 0],
+                             proj=batch["proj"][:, 0])
+            return base(
+                state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(7), state.step))
+        return step
+
+    if built.family == "voxelrcnn":
+        base = make_voxelrcnn_train_step(
+            built.model, built.head, lidar_cfg, fused=built.fused,
+            aux=aux and built.fused, image_hw=built.image_shape,
+        )
+        step = rng_wrapped(
+            base, squeeze_cams=built.fused and built.num_cams == 1)
+        extra = (built.num_cams, built.image_shape) if built.fused else None
+        return built.state, step, lidar_cfg, extra
+
+    if built.fused:
+        step = make_fused_train_step(
+            built.model, lidar_cfg, aux=aux, image_hw=built.image_shape)
+        return built.state, step, lidar_cfg, (built.num_cams,
+                                              built.image_shape)
+    if built.family == "centerpoint":
+        step = make_centerpoint_train_step(built.model, lidar_cfg)
+    else:  # transfusion
+        step = make_transfusion_train_step(built.model, lidar_cfg)
+    return built.state, step, lidar_cfg, None
 
 
 def main():

@@ -8,6 +8,11 @@ LOCK=/tmp/relay_queue.running
 touch "$LOCK"
 trap 'rm -f "$LOCK"' EXIT
 
+# single CPU core: wait for any running pytest (pid file) to finish first
+if [ -f /tmp/pytest.pid ]; then
+  while kill -0 "$(cat /tmp/pytest.pid)" 2>/dev/null; do sleep 30; done
+fi
+
 run() {
   name=$1; tmo=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a /tmp/r3_queue.log

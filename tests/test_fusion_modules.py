@@ -151,3 +151,33 @@ def test_ifat_variants():
         assert np.all(
             np.abs(np.asarray(out[0])) <= np.abs(np.asarray(img[0])) + 1e-6
         ), name
+
+
+def test_actr_exact_ops_path():
+    """ACTRConfig.exact_ops=True (checkpoint-parity mode, ADVICE r2) runs
+    the exact FPS (chunks=1) + exact ball query through the ACTRv2
+    LocalTransformer and produces finite, mask-respecting output."""
+    rng = np.random.RandomState(5)
+    cfg = ACTRConfig(
+        d_model=32, n_heads=4, n_points=2, n_levels=2, num_layers=1,
+        dim_feedforward=64, lt_npoint=8, lt_nsample=4,
+        model_name="ACTRv2", exact_ops=True,
+    )
+    b, q = 1, 24
+    q_feat = jnp.asarray(rng.randn(b, q, 16).astype(np.float32))
+    q_i_feat = jnp.asarray(rng.randn(b, q, 12).astype(np.float32))
+    ref = jnp.asarray(rng.rand(b, q, 2).astype(np.float32))
+    lidar_grid = jnp.asarray(rng.uniform(0, 50, (b, q, 3)).astype(np.float32))
+    mask = jnp.ones((b, q), bool).at[:, 20:].set(False)
+    i_feats = [
+        jnp.asarray(rng.randn(b, 8, 12, 24).astype(np.float32)),
+        jnp.asarray(rng.randn(b, 4, 6, 24).astype(np.float32)),
+    ]
+    m = ACTR(cfg)
+    vs = m.init(
+        jax.random.PRNGKey(0), q_feat, q_i_feat, ref, lidar_grid, mask,
+        i_feats)
+    out = m.apply(vs, q_feat, q_i_feat, ref, lidar_grid, mask, i_feats)
+    assert out.shape == (b, q, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out)[:, 20:]).max() == 0.0

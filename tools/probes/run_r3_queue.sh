@@ -23,6 +23,8 @@ run() {
 run r3_probe14 2400 python tools/probes/r3_probe14.py
 run r3_probe15 2400 python tools/probes/r3_probe15.py
 run r3_probe17 2400 python tools/probes/r3_probe17.py
+run fit_caps_onchip 3000 python tools/fit_caps.py \
+  --preset centerpoint_nusc --synthetic --frames 12
 run r3_probe13 2400 python tools/probes/r3_probe13.py
 run r3_probe16 2400 python tools/probes/r3_probe16.py
 run bench_r3b  3600 python bench.py

@@ -34,8 +34,11 @@ print(f"RTT = {RTT*1000:.1f} ms", flush=True)
 
 
 def timed(name, fn, *args, iters=ITERS):
+    # fresh lambda: jax.jit caches on function identity, so re-jitting the
+    # same fn after flipping a module global would silently reuse the old
+    # trace (this invalidated the first run's b/c/d variants)
     try:
-        f = jax.jit(fn)
+        f = jax.jit(lambda *a: fn(*a))
         t0 = time.time()
         s = float(f(*args))
         c = time.time() - t0

@@ -52,6 +52,14 @@ def main():
 
         set_compute_dtype_2d(jnp.bfloat16)
 
+    if os.environ.get("DF3D_BF16_CONV"):
+        # bf16 sparse conv BODIES for >= 64-ch stages only (probe 18 C:
+        # st3 -30%/conv; 16-ch stage 1 would REGRESS — 32B rows leave the
+        # v5e 2 ns/row gather sweet spot). Accumulation stays f32.
+        from df3d.ops.sparse import set_compute_dtype
+
+        set_compute_dtype(jnp.bfloat16, min_channels=64)
+
     num_points = 260_000  # ~10-sweep nuScenes lidar
 
     # DF3D_BENCH_SMOKE=1: tiny shapes + forced CPU so the full bench code

@@ -619,12 +619,19 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
 # Optional compute dtype for the conv taps (e.g. jnp.bfloat16): halves HBM
 # traffic for the gathers and uses the MXU's bf16 path; accumulation stays
 # f32. Set via set_compute_dtype() (bench/serving); None = input dtype.
+# min_channels gates the conversion per conv: v5e single-row gathers run
+# ~2 ns/row only at >= 64B rows (CLAUDE.md layout rule 2), so bf16 HELPS
+# stages whose f32 rows are >= 128B (>= 32 ch; probe 18 C: st3 64ch
+# 1.72 -> 1.20 ms per 2 subm convs) and HURTS 16-ch stage 1 (64B -> 32B
+# rows leaves the sweet spot). Default 64: convert only clear wins.
 _COMPUTE_DTYPE = None
+_COMPUTE_DTYPE_MIN_CH = 64
 
 
-def set_compute_dtype(dtype):
-    global _COMPUTE_DTYPE
+def set_compute_dtype(dtype, min_channels: int = 64):
+    global _COMPUTE_DTYPE, _COMPUTE_DTYPE_MIN_CH
     _COMPUTE_DTYPE = dtype
+    _COMPUTE_DTYPE_MIN_CH = min_channels
 
 
 def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
@@ -645,7 +652,7 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
     shape hits XLA:TPU's fast path.)
     """
     b, n_in, cin = features.shape
-    if _COMPUTE_DTYPE is not None:
+    if _COMPUTE_DTYPE is not None and cin >= _COMPUTE_DTYPE_MIN_CH:
         features = features.astype(_COMPUTE_DTYPE)
         weights = weights.astype(_COMPUTE_DTYPE)
     k = plan.num_taps

@@ -368,3 +368,34 @@ def test_backbone_sows_cap_overflow():
     assert "cap_overflow_down2" in inter
     over = int(inter["cap_overflow_down2"][0][0])
     assert over > 0  # 256 sites dilate past the 32 cap
+
+
+def test_compute_dtype_min_channels_gate():
+    """set_compute_dtype(bf16, min_channels=64): small-channel convs stay
+    exactly f32 (v5e 16-ch rows would regress in bf16 — probe 18 C), wide
+    convs convert but stay within bf16 tolerance of the f32 result."""
+    rng = np.random.RandomState(11)
+    st_small = _random_sparse(rng, cin=5)
+    w_small = jnp.asarray(rng.randn(27, 5, 7).astype(np.float32) * 0.1)
+    plan_small = build_subm_plan(st_small, 3)
+    st_wide = _random_sparse(rng, cin=64)
+    w_wide = jnp.asarray(rng.randn(27, 64, 64).astype(np.float32) * 0.05)
+    plan_wide = build_subm_plan(st_wide, 3)
+
+    ref_small = apply_sparse_conv(st_small.features, plan_small, w_small)
+    ref_wide = apply_sparse_conv(st_wide.features, plan_wide, w_wide)
+    _sp.set_compute_dtype(jnp.bfloat16, min_channels=64)
+    try:
+        got_small = apply_sparse_conv(st_small.features, plan_small, w_small)
+        got_wide = apply_sparse_conv(st_wide.features, plan_wide, w_wide)
+    finally:
+        _sp.set_compute_dtype(None)
+
+    # below the gate: bit-identical f32 (no conversion happened)
+    np.testing.assert_array_equal(np.asarray(got_small), np.asarray(ref_small))
+    # at/above the gate: converted (bf16 out) and numerically close
+    assert got_wide.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_wide, np.float32), np.asarray(ref_wide),
+        rtol=0.05, atol=0.15,
+    )

@@ -78,12 +78,14 @@ class CenterPoint(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, voxel_coords, train: bool,
-                 fusion_kwargs=None):
+                 fusion_kwargs=None, packed_table=None):
         """voxel_features (B, V, F); voxel_coords (B, V, 3) (z, y, x) with
-        -1 padding rows."""
+        -1 padding rows. packed_table: optional word-rank table from
+        voxelize(method="bitrank", table_cells=prod(sparse_shape)) — lets
+        the stage-1 subm plan skip its pack_keys build."""
         # coords come from ops/voxelize.py -> key-sorted rows, padding last
         st = SparseTensor(voxel_features, voxel_coords, self.cfg.sparse_shape,
-                          rows_sorted=True)
+                          rows_sorted=True, packed_table=packed_table)
         caps = tuple(min(c, voxel_features.shape[1]) for c in self.cfg.stage_caps)
         bev, ms = SpMiddleResNetFHD(
             self.cfg.num_point_features, caps, fusion_hook=self.fusion_hook,

@@ -114,6 +114,7 @@ class SparseConv3d(nn.Module):
         return SparseTensor(
             feats, plan.out_coords, plan.out_spatial_shape,
             rows_sorted=plan.out_rows_sorted,
+            packed_table=plan.out_packed,
         )
 
 

@@ -55,6 +55,15 @@ class SparseTensor:
     coords: jax.Array    # (B, N, 3) int32 (z, y, x); -1 rows are padding
     spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     rows_sorted: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Optional pre-built word-rank occupancy table (keytable.py) over this
+    # tensor's grid: (B, num_blocks(prod(spatial_shape)), 16) int32. Ranks
+    # count the TRUE occupancy (possibly beyond the static row cap) in key
+    # order, so under `rows_sorted` a rank < N IS the row id and rank >= N
+    # is a truncated cell (no row). Producers: ops/voxelize.py bitrank
+    # method, strided conv plans (ConvPlan.out_packed). build_subm_plan
+    # reuses it instead of re-packing the keys (~1-2 ms per stage at
+    # nuScenes scale).
+    packed_table: jax.Array | None = None
 
     @property
     def valid(self) -> jax.Array:  # (B, N)
@@ -148,6 +157,17 @@ def set_x3_enabled(flag: bool) -> None:
     X3_ENABLED = flag
 
 
+# Reuse pre-built SparseTensor.packed_table in build_subm_plan (skips the
+# per-stage pack_keys rebuild). Exact — same ranks either way; toggleable
+# for A/B probes only (the x3 lesson: isolated wins can compose badly).
+PLAN_TABLE_REUSE = True
+
+
+def set_plan_table_reuse(flag: bool) -> None:
+    global PLAN_TABLE_REUSE
+    PLAN_TABLE_REUSE = flag
+
+
 PALLAS_V2_CONV = False
 
 
@@ -201,6 +221,12 @@ class ConvPlan:
     # 5); paying it per-plan instead of per-conv amortizes it across every
     # layer sharing the plan.
     idx2d: jax.Array | None = None
+    # strided dense-occupancy plans: the packed word-rank table of the
+    # OUTPUT grid (B, num_blocks(prod(out_spatial_shape)), 16) — a free
+    # byproduct of the parity-plane occupancy step. Attached to the output
+    # SparseTensor (layers.SparseConv3d) so the next stage's subm plan
+    # skips its pack_keys build.
+    out_packed: jax.Array | None = None
 
     @property
     def num_taps(self) -> int:
@@ -297,7 +323,17 @@ def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
     use_x3 = (X3_ENABLED and with_x3 and use_bitrank and st.rows_sorted
               and ksize[2] == 3)
 
-    def one(coords, keys, valid):
+    # pre-built table reuse: ranks in a producer-supplied table count the
+    # TRUE (uncapped) occupancy, so rank >= n means "cell occupied but its
+    # row was truncated" -> clamp to the miss row. Requires the sorted-rows
+    # invariant (rank == row id) and a block count matching THIS grid.
+    reuse = (
+        PLAN_TABLE_REUSE and use_bitrank and st.rows_sorted
+        and st.packed_table is not None
+        and st.packed_table.shape[-2] == keytable.num_blocks(cells)
+    )
+
+    def one(coords, keys, valid, pre_packed):
         cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
         qs, oks = [], []
         for dz, dy, dx in offs:
@@ -313,9 +349,13 @@ def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
         q = jnp.stack(qs).reshape(-1)    # (K*N,) tap-major, stays FLAT
         ok = jnp.stack(oks).reshape(-1)
         if use_bitrank:
-            packed = keytable.pack_keys(keys, valid, cells)
-            rank = keytable.lookup(packed, q, ok, n)
-            rows = _rank_to_row(rank, keys, n, st.rows_sorted)
+            if pre_packed is not None:
+                rank = keytable.lookup(pre_packed, q, ok, n)
+                rows = jnp.minimum(rank, n)
+            else:
+                packed = keytable.pack_keys(keys, valid, cells)
+                rank = keytable.lookup(packed, q, ok, n)
+                rows = _rank_to_row(rank, keys, n, st.rows_sorted)
         else:
             order = jnp.argsort(keys)
             rows = _lookup(
@@ -338,7 +378,8 @@ def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
     # (measured 4x slower at nuScenes scale)
     keys_all, valid_all = st.keys(), st.valid
     outs = [
-        one(st.coords[b], keys_all[b], valid_all[b])
+        one(st.coords[b], keys_all[b], valid_all[b],
+            st.packed_table[b] if reuse else None)
         for b in range(st.batch_size)
     ]
     gather = jnp.stack([o[0] for o in outs])
@@ -538,7 +579,7 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             )
             true_occ = occ4.sum(dtype=jnp.int32)
             # gidx stays FLAT (K*max_out,)
-            return gidx, out_coords, x3_rows, true_occ
+            return gidx, out_coords, x3_rows, true_occ, packed
 
         skey = jnp.sort(cand_key)
         first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
@@ -586,7 +627,8 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         ok = jnp.stack(oks).reshape(-1)
         gidx = _lookup(skeys, jnp.where(ok, q, _INT_MAX - 1), order, n)
         true_occ = first.sum(dtype=jnp.int32)  # uniques BEFORE the cap
-        return gidx, out_coords, None, true_occ  # stays FLAT (K*max_out,)
+        # stays FLAT (K*max_out,); no packed table on the sort fallback
+        return gidx, out_coords, None, true_occ, None
 
     # python-unrolled over the batch (see build_subm_plan)
     keys_all, valid_all = st.keys(), st.valid
@@ -601,18 +643,24 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         if use_x3 else None
     )
     true_occ = jnp.stack([o[3] for o in outs])
+    out_packed = (
+        jnp.stack([o[4] for o in outs])
+        if PLAN_TABLE_REUSE and outs[0][4] is not None else None
+    )
     idx2d = _maybe_idx2d(gather, ksize[0] * ksize[1] * ksize[2],
                          st.features.shape[1])
     parts = jax.lax.optimization_barrier(
-        tuple(p for p in (gather, out_coords, x3, idx2d) if p is not None))
+        tuple(p for p in (gather, out_coords, x3, idx2d, out_packed)
+              if p is not None))
     parts = list(parts)
     gather = parts.pop(0)
     out_coords = parts.pop(0)
     x3 = parts.pop(0) if x3 is not None else None
     idx2d = parts.pop(0) if idx2d is not None else None
+    out_packed = parts.pop(0) if out_packed is not None else None
     return ConvPlan(
         gather, out_coords, (oz, oy, ox), ksize, out_rows_sorted=True,
-        x3=x3, true_occ=true_occ, idx2d=idx2d,
+        x3=x3, true_occ=true_occ, idx2d=idx2d, out_packed=out_packed,
     )
 
 

@@ -399,3 +399,72 @@ def test_compute_dtype_min_channels_gate():
         np.asarray(got_wide, np.float32), np.asarray(ref_wide),
         rtol=0.05, atol=0.15,
     )
+
+
+def test_packed_table_reuse_matches_rebuild():
+    # a strided plan's out_packed, attached to the output SparseTensor,
+    # must give the next subm plan EXACTLY the same gather indices as a
+    # from-scratch pack_keys build — including when the cap truncates
+    # (ranks beyond the row cap clamp to the miss row)
+    rng = np.random.RandomState(7)
+    st = _random_sparse(rng, batch=2, shape=(8, 12, 12), n=64, cin=5,
+                        rows_sorted=True)
+    for max_out in (96, 20):  # no-overflow and hard-overflow
+        plan = build_conv_plan(st, 3, 2, 1, max_out=max_out)
+        assert plan.out_packed is not None
+        feats = jnp.zeros((2, max_out, 4))
+        out_with = SparseTensor(
+            feats, plan.out_coords, plan.out_spatial_shape,
+            rows_sorted=True, packed_table=plan.out_packed)
+        out_without = SparseTensor(
+            feats, plan.out_coords, plan.out_spatial_shape, rows_sorted=True)
+        p_with = build_subm_plan(out_with, 3)
+        p_without = build_subm_plan(out_without, 3)
+        np.testing.assert_array_equal(
+            np.asarray(p_with.gather_idx), np.asarray(p_without.gather_idx))
+
+
+def test_packed_table_reuse_toggle_and_mismatch_fallback():
+    rng = np.random.RandomState(8)
+    st = _random_sparse(rng, batch=1, shape=(6, 10, 10), n=48, cin=3,
+                        rows_sorted=True)
+    plan = build_conv_plan(st, 3, 2, 1, max_out=64)
+    out = SparseTensor(
+        jnp.zeros((1, 64, 3)), plan.out_coords, plan.out_spatial_shape,
+        rows_sorted=True, packed_table=plan.out_packed)
+    ref = build_subm_plan(out, 3).gather_idx
+    # toggle off -> rebuild path, same answer
+    _sp.set_plan_table_reuse(False)
+    try:
+        alt = build_subm_plan(out, 3).gather_idx
+    finally:
+        _sp.set_plan_table_reuse(True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(alt))
+    # a table whose block count mismatches the grid is ignored, not used
+    bad = SparseTensor(
+        jnp.zeros((1, 64, 3)), plan.out_coords, plan.out_spatial_shape,
+        rows_sorted=True,
+        packed_table=jnp.zeros((1, 3, 16), jnp.int32))
+    np.testing.assert_array_equal(
+        np.asarray(build_subm_plan(bad, 3).gather_idx), np.asarray(ref))
+
+
+def test_voxelize_bitrank_table_feeds_subm_plan():
+    # end-to-end: bitrank voxelize -> SparseTensor with packed_table ->
+    # subm conv matches the dense conv at input sites
+    from df3d.ops.voxelize import voxelize
+
+    rng = np.random.RandomState(9)
+    pts = rng.uniform(-4, 4, (200, 4)).astype(np.float32)
+    grid = (16, 16, 16)
+    res = voxelize(jnp.asarray(pts), jnp.ones(200, bool), (0.5, 0.5, 0.5),
+                   (-4, -4, -4, 4, 4, 4), grid, max_voxels=128,
+                   method="bitrank", table_cells=17 * 16 * 16)
+    # voxelize() is per-sample; add the batch dim to everything
+    st = SparseTensor(res.features[None], res.coords[None], (17, 16, 16),
+                      rows_sorted=True, packed_table=res.packed_table[None])
+    plan = build_subm_plan(st, 3)
+    w = jnp.asarray(rng.randn(27, 4, 6).astype(np.float32))
+    got = apply_sparse_conv(st.features, plan, w)
+    ref = _dense_conv(st.to_dense(), w, (3, 3, 3), 1, 1)
+    _check_against_dense(st.coords, got, ref)

@@ -84,3 +84,63 @@ def test_voxelize_jits():
     )
     res = fn(jnp.zeros((50, 4)), jnp.ones(50, bool))
     assert res.features.shape == (64, 4)
+
+
+def test_voxelize_bitrank_matches_sort_without_cap():
+    # with max_points high enough that no voxel hits the cap, the bitrank
+    # path must agree with the sort path on every output (incl. the free
+    # per-point voxel ids)
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(-4, 4, (300, 5)).astype(np.float32)
+    valid = np.ones(300, bool)
+    valid[250:] = False
+    args = ((0.5, 0.5, 0.5), (-4, -4, -4, 4, 4, 4), (16, 16, 16))
+    a = V.voxelize(jnp.asarray(pts), jnp.asarray(valid), *args,
+                   max_voxels=256, max_points_per_voxel=64)
+    b = V.voxelize(jnp.asarray(pts), jnp.asarray(valid), *args,
+                   max_voxels=256, max_points_per_voxel=64,
+                   method="bitrank")
+    assert int(a.num_voxels) == int(b.num_voxels)
+    np.testing.assert_array_equal(np.asarray(a.coords), np.asarray(b.coords))
+    np.testing.assert_array_equal(np.asarray(a.num_points),
+                                  np.asarray(b.num_points))
+    np.testing.assert_allclose(np.asarray(a.features),
+                               np.asarray(b.features), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.point_voxel_id),
+                                  np.asarray(b.point_voxel_id))
+    assert b.packed_table is not None
+
+
+def test_voxelize_bitrank_overflow_and_table_cells():
+    # voxel cap smaller than occupancy: lowest-key voxels kept (same policy
+    # as the sort path); table_cells extends the packed table to a larger
+    # downstream grid without changing any output
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-4, 4, (400, 4)).astype(np.float32)
+    args = ((0.5, 0.5, 0.5), (-4, -4, -4, 4, 4, 4), (16, 16, 16))
+    a = V.voxelize(jnp.asarray(pts), jnp.ones(400, bool), *args,
+                   max_voxels=32, max_points_per_voxel=64)
+    b = V.voxelize(jnp.asarray(pts), jnp.ones(400, bool), *args,
+                   max_voxels=32, max_points_per_voxel=64, method="bitrank",
+                   table_cells=17 * 16 * 16)
+    np.testing.assert_array_equal(np.asarray(a.coords), np.asarray(b.coords))
+    np.testing.assert_allclose(np.asarray(a.features),
+                               np.asarray(b.features), atol=1e-5)
+    from df3d.ops import keytable
+    assert b.packed_table.shape == (keytable.num_blocks(17 * 16 * 16), 16)
+    # dropped points (overflowed voxels) are -1 in both
+    np.testing.assert_array_equal(np.asarray(a.point_voxel_id),
+                                  np.asarray(b.point_voxel_id))
+
+
+def test_voxelize_bitrank_uncapped_mean_semantics():
+    # bitrank has no max_points cap: 5 points in one voxel all contribute
+    pts = np.array([[0.1, 0.1, 0.1, v] for v in (1.0, 2.0, 3.0, 4.0, 5.0)],
+                   np.float32)
+    res = V.voxelize(
+        jnp.asarray(pts), jnp.ones(5, bool), (1, 1, 1), (-2, -2, -2, 2, 2, 2),
+        (4, 4, 4), max_voxels=8, max_points_per_voxel=2, method="bitrank",
+    )
+    assert int(res.num_voxels) == 1
+    assert int(res.num_points[0]) == 5  # uncapped count
+    assert abs(float(res.features[0, 3]) - 3.0) < 1e-6  # mean of ALL points

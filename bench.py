@@ -52,13 +52,15 @@ def main():
 
         set_compute_dtype_2d(jnp.bfloat16)
 
-    if os.environ.get("DF3D_BF16_CONV"):
-        # bf16 sparse conv BODIES for >= 64-ch stages only (probe 18 C:
-        # st3 -30%/conv; 16-ch stage 1 would REGRESS — 32B rows leave the
-        # v5e 2 ns/row gather sweet spot). Accumulation stays f32.
+    if not os.environ.get("DF3D_F32_CONV"):
+        # bf16 sparse conv BODIES for >= 32-ch stages (default ON for the
+        # serving benchmark; accumulation stays f32). Probe 19 e2e A/B:
+        # min_ch=32 wins 2.3 ms (150.8 vs 153.1 ms), min_ch=64 is a wash;
+        # 16-ch stage 1 stays f32 (32B rows leave the v5e 2 ns/row gather
+        # sweet spot). DF3D_F32_CONV=1 reverts to all-f32.
         from df3d.ops.sparse import set_compute_dtype
 
-        set_compute_dtype(jnp.bfloat16, min_channels=64)
+        set_compute_dtype(jnp.bfloat16, min_channels=32)
 
     num_points = 260_000  # ~10-sweep nuScenes lidar
 
@@ -69,14 +71,24 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         num_points = 20_000
 
+    # sort-free bitrank voxelize for serving (probe 20): emits the stage-1
+    # word-rank table for free (reused by the subm plan build); semantics
+    # divergence vs the reference CUDA hard_voxelize: voxel mean runs over
+    # ALL points, not the first max_points. DF3D_SORT_VOX=1 reverts.
+    vox_method = "sort" if os.environ.get("DF3D_SORT_VOX") else "bitrank"
+
     def centerpoint_fps(cfg, frame_list, iters=10):
         """Best-of-2 async-dispatch throughput over cycled frames."""
         points0, valid0 = frame_list[0]
+        ss = cfg.sparse_shape
+        tcells = ss[0] * ss[1] * ss[2]
 
         def voxelize(points, valid):
             return voxelize_batch(
                 points, valid, cfg.voxel_size, cfg.pc_range, cfg.grid_size,
                 cfg.max_voxels, cfg.max_points_per_voxel,
+                method=vox_method,
+                table_cells=tcells if vox_method == "bitrank" else None,
             )
 
         res = jax.jit(voxelize)(points0, valid0)
@@ -89,7 +101,8 @@ def main():
         def infer(variables, points, valid):
             res = voxelize(points, valid)
             preds, _ = model.apply(
-                variables, res.features, res.coords, train=False)
+                variables, res.features, res.coords, train=False,
+                packed_table=res.packed_table)
             return centerpoint_predict(cfg, preds)
 
         # compile + warmup; fetch a scalar to the host (block_until_ready
@@ -251,10 +264,15 @@ def main():
                                [0.0, 0.0, 1.0, 0.0]], np.float32)
         proj = jnp.asarray(proj)
 
+        t_ss = tcfg.sparse_shape
+        t_tcells = t_ss[0] * t_ss[1] * t_ss[2]
+
         def t_voxelize(p, v):
             return voxelize_batch(
                 p, v, tcfg.voxel_size, tcfg.pc_range, tcfg.grid_size,
-                tcfg.max_voxels, tcfg.max_points_per_voxel)
+                tcfg.max_voxels, tcfg.max_points_per_voxel,
+                method=vox_method,
+                table_cells=t_tcells if vox_method == "bitrank" else None)
 
         tres = jax.jit(t_voxelize)(f_points, f_valid)
         fmodel = TransFusion3DDF(tcfg, fcfg)
@@ -266,7 +284,8 @@ def main():
         def fused_infer(fvars, p, v, im, pr):
             r = t_voxelize(p, v)
             preds, _ = fmodel.apply(
-                fvars, r.features, r.coords, im, pr, train=False)
+                fvars, r.features, r.coords, im, pr, train=False,
+                packed_table=r.packed_table)
             return transfusion_predict(tcfg, preds)["scores"].sum()
 
         float(fused_infer(fvars, f_points, f_valid, images, proj))  # compile

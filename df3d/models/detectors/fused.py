@@ -140,7 +140,8 @@ class TransFusion3DDF(nn.Module):
     fused: FusedConfig
 
     @nn.compact
-    def __call__(self, voxel_features, voxel_coords, images, proj, train: bool):
+    def __call__(self, voxel_features, voxel_coords, images, proj, train: bool,
+                 packed_table=None):
         b, nc = images.shape[:2]
         flat = images.reshape(b * nc, *images.shape[2:])
         feats = ImageBranch(self.fused, name="image_branch")(flat, train)
@@ -164,4 +165,5 @@ class TransFusion3DDF(nn.Module):
         return model(
             voxel_features, voxel_coords, train,
             fusion_kwargs=dict(image_feats=feats, proj=proj),
+            packed_table=packed_table,
         )

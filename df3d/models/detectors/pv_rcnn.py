@@ -41,13 +41,13 @@ class PVRCNN(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, voxel_coords, points, points_valid,
-                 train: bool):
+                 train: bool, packed_table=None):
         cfg = self.cfg.base
         from df3d.models.backbones_3d import VoxelBackBone8x
 
         # coords come from ops/voxelize.py -> key-sorted rows, padding last
         st = SparseTensor(voxel_features, voxel_coords, cfg.sparse_shape,
-                          rows_sorted=True)
+                          rows_sorted=True, packed_table=packed_table)
         caps = tuple(min(c, voxel_features.shape[1]) for c in cfg.stage_caps)
         bev, ms = VoxelBackBone8x(cfg.num_point_features, caps, name="backbone")(
             st, train

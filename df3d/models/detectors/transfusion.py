@@ -53,11 +53,11 @@ class TransFusionL(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, voxel_coords, train: bool,
-                 fusion_kwargs=None):
+                 fusion_kwargs=None, packed_table=None):
         cfg = self.cfg
         # coords come from ops/voxelize.py -> key-sorted rows, padding last
         st = SparseTensor(voxel_features, voxel_coords, cfg.sparse_shape,
-                          rows_sorted=True)
+                          rows_sorted=True, packed_table=packed_table)
         caps = tuple(min(c, voxel_features.shape[1]) for c in cfg.stage_caps)
         bev, ms = SparseEncoder(
             cfg.num_point_features, caps, fusion_hook=self.fusion_hook,

@@ -212,8 +212,27 @@ def _hungarian_host(cost: np.ndarray, valid_cols: np.ndarray):
     return matched_gt
 
 
+# "host": scipy linear_sum_assignment via pure_callback (reference-exact,
+# needs a backend that supports host callbacks). "auction": fully in-graph
+# Bertsekas auction (ops/assign.py) — required on backends that cannot
+# host-call out of a compiled graph (e.g. TPU relays) and for fully
+# device-resident multi-host training; matches scipy's optimum up to
+# near-ties.
+ASSIGN_METHOD = "host"
+
+
+def set_assign_method(method: str) -> None:
+    global ASSIGN_METHOD
+    assert method in ("host", "auction"), method
+    ASSIGN_METHOD = method
+
+
 def hungarian_match(cost: jax.Array, valid_cols: jax.Array) -> jax.Array:
     """(P, M) cost + (M,) validity -> (P,) matched gt index or -1."""
+    if ASSIGN_METHOD == "auction":
+        from df3d.ops.assign import auction_assign
+
+        return auction_assign(cost, valid_cols)
     p = cost.shape[0]
     return jax.pure_callback(
         _hungarian_host,

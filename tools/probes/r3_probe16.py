@@ -55,22 +55,13 @@ def perturb(s):
 
 
 def main():
-    from df3d.models.detectors.fused import FusedConfig, VoxelRCNN3DDF
-    from df3d.models.detectors.voxel_rcnn import (
-        VoxelRCNN, VoxelRCNNConfig,
-    )
-    from df3d.models.fusion.actr import ACTRConfig
-    from df3d.ops.voxelize import voxelize_batch
+    import optax
+
+    from df3d.config.presets import get_preset
+    from df3d.models.build import build_detector
+    from df3d.train.trainer import make_voxelrcnn_eval_step
 
     rng = np.random.RandomState(0)
-    cfg = VoxelRCNNConfig()
-    fused = FusedConfig(
-        image_shape=(384, 1280), image_branch="deeplabv3", num_cams=1,
-        actr=ACTRConfig(
-            d_model=64, n_levels=3, num_layers=1, q_method="gating",
-            attn_layer="BiGateSum1D_2", model_name="ACTRv2",
-        ),
-    )
     n_pts = 20_000  # typical KITTI FOV-cropped cloud
     pts = np.concatenate(
         [rng.uniform(0, 70, (1, n_pts, 1)),
@@ -82,50 +73,31 @@ def main():
     images = jnp.asarray(rng.rand(1, 384, 1280, 3).astype(np.float32))
     # KITTI P2-like lidar->image projection
     proj = jnp.asarray(np.array(
-        [[[600.0, -720.0, 0.0, 640.0],
-          [180.0, 0.0, -720.0, 180.0],
-          [1.0, 0.0, 0.0, 0.0]]], np.float32))
+        [[600.0, -720.0, 0.0, 640.0],
+         [180.0, 0.0, -720.0, 180.0],
+         [1.0, 0.0, 0.0, 0.0]], np.float32))[None]
 
-    def voxelize(p, v):
-        return voxelize_batch(
-            p, v, cfg.voxel_size, cfg.pc_range, cfg.grid_size,
-            cfg.max_voxels, cfg.max_points_per_voxel)
+    tx = optax.adam(1e-4)
+    for preset_name, label in [
+        ("voxel_rcnn_car_kitti", "VoxelRCNN lidar-only 2-stage eval"),
+        ("voxel_rcnn_3ddf_kitti", "VoxelRCNN-3DDF fused 2-stage eval"),
+    ]:
+        built = build_detector(get_preset(preset_name), tx)
+        step = make_voxelrcnn_eval_step(
+            built.model, built.head, built.lidar_cfg, fused=built.fused)
 
-    res = jax.jit(voxelize)(points, valid)
+        def chain(state, points, valid, step=step, fused=built.fused):
+            def body(i, carry):
+                p = points + perturb(carry).astype(points.dtype)
+                batch = {"points": p, "points_valid": valid}
+                if fused:
+                    batch["images"] = images
+                    batch["proj"] = proj
+                out = step(state, batch)
+                return jnp.float32(out["scores"].sum(dtype=jnp.float32))
+            return lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
-    # LiDAR-only control
-    lmodel = VoxelRCNN(cfg)
-    lvars = jax.jit(lambda f, c: lmodel.init(
-        jax.random.PRNGKey(0), f, c, train=False))(res.features, res.coords)
-
-    def lidar_fwd(lvars, points, valid):
-        def body(i, carry):
-            p = points + perturb(carry).astype(points.dtype)
-            r = voxelize(p, valid)
-            preds = lmodel.apply(lvars, r.features, r.coords, train=False)
-            return jnp.float32(
-                preds["rcnn_cls"].sum(dtype=jnp.float32))
-        return lax.fori_loop(0, ITERS, body, jnp.float32(0))
-
-    timed("VoxelRCNN lidar-only e2e fwd", lidar_fwd, lvars, points, valid)
-
-    fmodel = VoxelRCNN3DDF(cfg, fused)
-    fvars = jax.jit(lambda f, c, im, pr: fmodel.init(
-        jax.random.PRNGKey(0), f, c, im, pr, train=False
-    ))(res.features, res.coords, images, proj)
-
-    def fused_fwd(fvars, points, valid, images, proj):
-        def body(i, carry):
-            p = points + perturb(carry).astype(points.dtype)
-            r = voxelize(p, valid)
-            preds = fmodel.apply(
-                fvars, r.features, r.coords, images, proj, train=False)
-            return jnp.float32(
-                preds["rcnn_cls"].sum(dtype=jnp.float32))
-        return lax.fori_loop(0, ITERS, body, jnp.float32(0))
-
-    timed("VoxelRCNN-3DDF fused e2e fwd", fused_fwd, fvars, points, valid,
-          images, proj)
+        timed(label, chain, built.state, points, valid)
 
 
 if __name__ == "__main__":

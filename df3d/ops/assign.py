@@ -9,15 +9,30 @@ multi-host pjit programs prefer not to sync on a host anyway), so this
 module provides a fully in-graph alternative: the parallel (Jacobi) auction
 algorithm with epsilon scaling.
 
-Optimality: with the final epsilon e, the assignment's total cost is within
-n*e of the true optimum (Bertsekas 1988). We scale e down to
-~1e-4 * cost_range / n, which in practice reproduces scipy's matching
-except on near-ties — where scipy's own choice is arbitrary anyway. For
-DETR-style target assignment that distinction is immaterial (ties mean the
-costs were equal).
+Formulation note (round-4 correctness fix): epsilon scaling carries prices
+across phases, which is only valid for SQUARE problems — in the asymmetric
+case, objects left unassigned in a later phase retain stale inflated prices
+from earlier phases, the duality argument's price-sum term no longer
+cancels, and the result can land far off the optimum (round 3 shipped that
+bug: 2.3% suboptimal). We therefore embed the problem in a square n x n one
+(n = max(P, M)) with zero-value dummy columns/rows absorbing the unmatched
+side; dummies live on the OBJECT side of the auction whenever possible so
+the bidders keep distinct value vectors (identical zero-value bidders
+serialize Jacobi rounds). A tiny value jitter (<= jit_frac * eps per phase)
+breaks exact ties so near-indifferent bidders spread over distinct objects
+in one round instead of queueing.
 
-Shapes are static throughout; the bidding loop is a lax.while_loop whose
-body is one (M, P) masked reduction — no gathers, no host syncs.
+Optimality: with the final epsilon e, a COMPLETE square assignment is
+within n*e of the true optimum (Bertsekas 1988); e_final is
+eps_rel * value_range / n, i.e. a relative error of about eps_rel (plus
+the same order again from the jitter). If a phase hits max_iters the
+remaining bidders are finished by a greedy completion pass, which keeps
+the "every valid column matched" contract but may cost optimality — raise
+max_iters if that matters and profile: Jacobi iterations grow roughly
+linearly in n for contested problems (~2-3k rounds at n=200 saturated).
+
+Shapes are static throughout; each bidding round is one (n, n) masked
+reduction — no host syncs.
 """
 
 from __future__ import annotations
@@ -29,70 +44,72 @@ from jax import lax
 _NEG = -1e30
 
 
-def auction_assign(cost: jax.Array, valid_cols: jax.Array,
-                   phases: int = 3, scale: float = 25.0,
-                   max_iters: int = 256) -> jax.Array:
-    """Min-cost assignment of valid columns to rows.
+def _auction_square(value: jax.Array, phases: int, scale: float,
+                    eps_rel: float, jit_frac: float,
+                    max_iters: int):
+    """Symmetric n x n auction. value[c, i] = person c's value for object i.
 
-    cost (P, M) float; valid_cols (M,) bool. Returns (P,) int32: the column
-    matched to each row, or -1 — the same contract as
-    transfusion_head.hungarian_match. Assigns min(P, n_valid) pairs
-    (when n_valid > P the auction terminates at max_iters with the
-    converged subset — scipy would pick the optimal P-subset; with
-    TransFusion's 200 proposals vs <=128 gt this is unreachable).
+    Returns (assigned, owner): assigned[c] = object of person c,
+    owner[i] = person holding object i; both -1 where the greedy
+    completion was not needed and a phase truncated (callers complete).
     """
-    p, m = cost.shape
-    cost = jnp.where(valid_cols[None, :], cost, 0.0).astype(jnp.float32)
-    rng = jnp.maximum(cost.max() - cost.min(), 1e-6)
-    # column j's value for row i; invalid columns never bid
-    value = -cost.T  # (M, P)
-    eps_final = rng * 1e-4 / max(p, 1)
-    eps0 = eps_final * (scale ** (phases - 1))
+    n = value.shape[0]
+    objs = jnp.arange(n, dtype=jnp.int32)
+    pers = jnp.arange(n, dtype=jnp.int32)
+
+    # value range over the REAL spread only is the caller's job; here the
+    # matrix is already centered/masked. eps from the matrix's own range.
+    rng = jnp.maximum(value.max() - value.min(), 1e-6)
+    eps_final = rng * eps_rel / max(n, 1)
+    # deterministic tie-break jitter in [0, 1): splitmix-style integer hash
+    # of the flat index (no RNG key threading; same every call)
+    idx = (pers[:, None] * n + objs[None, :]).astype(jnp.uint32)
+    h = (idx + jnp.uint32(0x9E3779B9))
+    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    jbase = h.astype(jnp.float32) * (1.0 / 4294967296.0)
 
     def run_phase(carry, eps):
-        price, _, _ = carry
-        owner = jnp.full((p,), -1, jnp.int32)       # col owning each row
-        assigned = jnp.full((m,), -1, jnp.int32)    # row assigned to col
-        rows = jnp.arange(p, dtype=jnp.int32)
-        cols = jnp.arange(m, dtype=jnp.int32)
+        price = carry
+        vj = value + jbase * (eps * jit_frac)
+        owner = jnp.full((n,), -1, jnp.int32)
+        assigned = jnp.full((n,), -1, jnp.int32)
 
         def cond(s):
-            price, owner, assigned, it = s
-            open_bidders = valid_cols & (assigned < 0)
-            return jnp.logical_and(it < max_iters, open_bidders.any())
+            _, _, assigned, it = s
+            return jnp.logical_and(it < max_iters, (assigned < 0).any())
 
         def body(s):
             price, owner, assigned, it = s
-            bidder = valid_cols & (assigned < 0)           # (M,)
-            v = value - price[None, :]                     # (M, P)
+            bidder = assigned < 0                          # (n,) persons
+            v = vj - price[None, :]                        # (n, n)
             v = jnp.where(bidder[:, None], v, _NEG)
-            i1 = jnp.argmax(v, axis=1)                     # (M,)
+            i1 = jnp.argmax(v, axis=1)                     # (n,) best obj
             v1 = jnp.take_along_axis(v, i1[:, None], 1)[:, 0]
-            v_wo = jnp.where(
-                rows[None, :] == i1[:, None], _NEG, v)
+            v_wo = jnp.where(objs[None, :] == i1[:, None], _NEG, v)
             v2 = v_wo.max(axis=1)
-            v2 = jnp.where(v2 <= _NEG / 2, v1, v2)         # single-row edge
-            bid = price[i1] + (v1 - v2) + eps              # (M,)
+            v2 = jnp.where(v2 <= _NEG / 2, v1, v2)         # single-obj edge
+            bid = price[i1] + (v1 - v2) + eps              # (n,)
 
-            # best bid per row, resolved without scatters: each col bids on
-            # exactly one row, so the (M, P) one-hot mask is exact
-            onehot = (rows[None, :] == i1[:, None]) & bidder[:, None]
+            # best bid per object, scatter-free: each person bids exactly
+            # one object, so the (n, n) one-hot mask is exact
+            onehot = (objs[None, :] == i1[:, None]) & bidder[:, None]
             bid_mat = jnp.where(onehot, bid[:, None], _NEG)
-            best_bid = bid_mat.max(axis=0)                 # (P,)
+            best_bid = bid_mat.max(axis=0)                 # (n,) per obj
             winner = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
-            has_bid = best_bid > _NEG / 2                  # (P,)
+            has_bid = best_bid > _NEG / 2
 
-            # unseat previous owners of re-priced rows
-            old = jnp.where(has_bid & (owner >= 0), owner, m)
+            # unseat previous owners of re-priced objects
+            old = jnp.where(has_bid & (owner >= 0), owner, n)
             assigned = (
                 jnp.concatenate([assigned, jnp.zeros((1,), jnp.int32)])
-                .at[old].set(-1, mode="drop")[:m]
+                .at[old].set(-1, mode="drop")[:n]
             )
-            # winners take their rows (distinct cols per row — see onehot)
-            win_col = jnp.where(has_bid, winner, m)
+            win_per = jnp.where(has_bid, winner, n)
             assigned = (
                 jnp.concatenate([assigned, jnp.zeros((1,), jnp.int32)])
-                .at[win_col].set(rows, mode="drop")[:m]
+                .at[win_per].set(objs, mode="drop")[:n]
             )
             owner = jnp.where(has_bid, winner, owner)
             price = jnp.where(has_bid, best_bid, price)
@@ -100,11 +117,87 @@ def auction_assign(cost: jax.Array, valid_cols: jax.Array,
 
         price, owner, assigned, _ = lax.while_loop(
             cond, body, (price, owner, assigned, jnp.int32(0)))
-        return (price, owner, assigned), None
+        return price, (owner, assigned)
 
-    carry = (jnp.zeros((p,), jnp.float32), jnp.full((p,), -1, jnp.int32),
-             jnp.full((m,), -1, jnp.int32))
-    eps_seq = eps0 / (scale ** jnp.arange(phases, dtype=jnp.float32))
-    (price, owner, assigned), _ = lax.scan(run_phase, carry, eps_seq)
-    del price, assigned
-    return owner
+    price = jnp.zeros((n,), jnp.float32)
+    eps0 = eps_final * (scale ** (phases - 1))
+    owner = assigned = None
+    for ph in range(phases):  # python-unrolled: phases is tiny and static
+        price, (owner, assigned) = run_phase(
+            price, jnp.float32(eps0 / (scale ** ph)))
+
+    # greedy completion: if the final phase truncated at max_iters, place
+    # the remaining bidders on remaining objects (>=1 placement per round)
+    def gcond(s):
+        owner, assigned, it = s
+        return jnp.logical_and(it < n, (assigned < 0).any())
+
+    def gbody(s):
+        owner, assigned, it = s
+        free_p = assigned < 0
+        free_o = owner < 0
+        v = jnp.where(free_p[:, None] & free_o[None, :], value, _NEG)
+        i1 = jnp.argmax(v, axis=1)
+        v1 = jnp.take_along_axis(v, i1[:, None], 1)[:, 0]
+        ok = free_p & (v1 > _NEG / 2)
+        onehot = (objs[None, :] == i1[:, None]) & ok[:, None]
+        val_mat = jnp.where(onehot, v1[:, None], _NEG)
+        winner = jnp.argmax(val_mat, axis=0).astype(jnp.int32)
+        has = val_mat.max(axis=0) > _NEG / 2
+        win_per = jnp.where(has, winner, n)
+        assigned = (
+            jnp.concatenate([assigned, jnp.zeros((1,), jnp.int32)])
+            .at[win_per].set(objs, mode="drop")[:n]
+        )
+        owner = jnp.where(has, winner, owner)
+        return owner, assigned, it + jnp.int32(1)
+
+    owner, assigned, _ = lax.while_loop(
+        gcond, gbody, (owner, assigned, jnp.int32(0)))
+    return assigned, owner
+
+
+def auction_assign(cost: jax.Array, valid_cols: jax.Array,
+                   phases: int = 5, scale: float = 5.0,
+                   eps_rel: float = 1e-4, jit_frac: float = 0.5,
+                   max_iters: int = 4096) -> jax.Array:
+    """Min-cost assignment of valid columns to rows.
+
+    cost (P, M) float; valid_cols (M,) bool. Returns (P,) int32: the column
+    matched to each row, or -1 — the same contract as
+    transfusion_head.hungarian_match. min(P, n_valid) pairs are always
+    assigned; when n_valid > P the square embedding drops the globally
+    worst excess columns (matching scipy's optimal-subset semantics, a
+    round-4 fix over the old truncation behavior).
+    """
+    p, m = cost.shape
+    n = max(p, m)
+    cost = cost.astype(jnp.float32)
+    # center + range over VALID entries only, so a large common offset in
+    # real costs neither distorts the dummy/real balance (centering keeps
+    # every complete matching's total shifted by the same n_valid * mu)
+    # nor inflates the epsilon tolerance (ADVICE r3)
+    vmask = valid_cols[None, :]
+    n_val = jnp.maximum(jnp.sum(valid_cols), 1)
+    mu = jnp.sum(jnp.where(vmask, cost, 0.0)) / (n_val * p)
+    vreal = jnp.where(vmask, -(cost - mu), 0.0)  # (P, M) person=row values
+
+    vpad = jnp.concatenate(
+        [valid_cols, jnp.zeros((n - m,), bool)]) if n > m else valid_cols
+    if p >= m:
+        # persons = rows; objects = cols padded with zero-value dummies
+        value = jnp.zeros((n, n), jnp.float32).at[:, :m].set(vreal)
+        assigned, _ = _auction_square(
+            value, phases, scale, eps_rel, jit_frac, max_iters)
+        j = assigned[:p]  # object of each row-person, in [-1, n)
+        good = (j >= 0) & jnp.take(vpad, jnp.clip(j, 0, n - 1))
+        return jnp.where(good, j, -1).astype(jnp.int32)
+    # m > p: persons = cols; objects = rows padded with dummies. (Invalid
+    # columns become identical zero-value bidders here, which serializes
+    # Jacobi rounds — acceptable for this rare orientation.)
+    value = jnp.zeros((n, n), jnp.float32).at[:m, :p].set(vreal.T)
+    _, owner = _auction_square(
+        value, phases, scale, eps_rel, jit_frac, max_iters)
+    c = owner[:p]  # col-person holding each real row, in [-1, n)
+    good = (c >= 0) & jnp.take(vpad, jnp.clip(c, 0, n - 1))
+    return jnp.where(good, c, -1).astype(jnp.int32)

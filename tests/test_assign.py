@@ -44,6 +44,42 @@ def test_auction_matches_scipy_optimum(p, m, nvalid):
     assert got_total <= ref_total + 1e-2 * max(1.0, abs(ref_total))
 
 
+def test_auction_nvalid_exceeds_rows_optimal_subset():
+    # n_valid > P: the square embedding must drop the globally worst excess
+    # columns, matching scipy's optimal-subset semantics (round-4 fix)
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(7)
+    p, m = 6, 14
+    cost = rng.randn(p, m).astype(np.float32) * 3.0
+    valid = np.ones(m, bool)
+    matched = np.asarray(auction_assign(jnp.asarray(cost),
+                                        jnp.asarray(valid)))
+    assert (matched >= 0).sum() == p
+    r, c = linear_sum_assignment(cost)
+    ref = cost[r, c].sum()
+    got = cost[np.arange(p), matched].sum()
+    assert abs(got - ref) <= 1e-2 * max(1.0, abs(ref))
+
+
+def test_auction_large_cost_offset():
+    # a big common offset must not inflate the epsilon tolerance (ADVICE r3)
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(11)
+    p, m = 30, 20
+    cost = (rng.randn(p, m) * 2.0 + 5000.0).astype(np.float32)
+    valid = np.ones(m, bool)
+    matched = np.asarray(auction_assign(jnp.asarray(cost),
+                                        jnp.asarray(valid)))
+    r, c = linear_sum_assignment(cost)
+    ref = cost[r, c].sum()
+    got = cost[matched >= 0, matched[matched >= 0]].sum()
+    assert (matched >= 0).sum() == m
+    # tolerance on the SPREAD, not the offset-inflated magnitude
+    assert abs(got - ref) <= 0.05
+
+
 def test_auction_no_valid_columns():
     cost = jnp.asarray(np.random.RandomState(0).randn(10, 6), jnp.float32)
     matched = np.asarray(auction_assign(cost, jnp.zeros(6, bool)))

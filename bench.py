@@ -15,13 +15,27 @@ test time (nusc_centerpoint_voxelnet_0075voxel_fix_bn_z.py:145) — far more
 closely than rounds 1-2's uniform-random points, which saturated every
 static cap (a strictly heavier-than-real workload; VERDICT r2 weak #7).
 The saturated-cap number is still reported as `fps_saturated_caps` for
-cross-round comparability.
+cross-round comparability, and `fps_exact_semantics` reports the
+reference-exact numerics config (f32 convs + sort-based hard_voxelize) so
+the serving-config (bf16+bitrank) headline is never the only number
+(ADVICE r3).
 
-Prints exactly ONE JSON line.
+Robustness (round 4, after BENCH_r03 rc=124/parsed=null): a watchdog
+THREAD prints whatever has been measured so far and exits 0 when the
+wall-clock budget (DF3D_BENCH_BUDGET_S, default 1200 s) expires — a thread,
+not SIGALRM, because a hung relay RPC never returns to the bytecode loop.
+Sections run headline-first and each later section is skipped unless
+enough budget remains; compiled programs persist across runs via a
+jax_compilation_cache_dir under .jax_cache/ so a re-run after a cold
+(remote-compile-heavy) run is cheap.
+
+Prints exactly ONE JSON line on stdout.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -33,10 +47,28 @@ import numpy as np
 # max_voxels. See PARITY.md round-3 notes.
 REALISTIC_STAGE_CAPS = (102_400, 73_728, 27_648, 10_240)
 
+_BUDGET_S = float(os.environ.get("DF3D_BENCH_BUDGET_S", "1200"))
+_T0 = time.monotonic()
+
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def _emit(result):
+    """Print the single JSON result line exactly once (main or watchdog)."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+        print(json.dumps(result), flush=True)
+
+
+def _remaining():
+    return _BUDGET_S - (time.monotonic() - _T0)
+
 
 def main():
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +77,19 @@ def main():
     )
     from df3d.ops.voxelize import voxelize_batch
 
+    # persistent compiled-program cache: cold remote compiles through the
+    # relay run 2-6 min per shape; a warm re-run (same HLO + same chip)
+    # loads from disk instead. Best-effort — some PJRT plugins cannot
+    # serialize executables, in which case this is a silent no-op.
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     if os.environ.get("DF3D_BF16_TAIL"):
         # bf16 neck+head inference tail (final branch convs stay f32);
         # A/B probe switch — see models/layers.py set_compute_dtype_2d
@@ -52,14 +97,14 @@ def main():
 
         set_compute_dtype_2d(jnp.bfloat16)
 
+    from df3d.ops.sparse import set_compute_dtype
+
     if not os.environ.get("DF3D_F32_CONV"):
         # bf16 sparse conv BODIES for >= 32-ch stages (default ON for the
         # serving benchmark; accumulation stays f32). Probe 19 e2e A/B:
         # min_ch=32 wins 2.3 ms (150.8 vs 153.1 ms), min_ch=64 is a wash;
         # 16-ch stage 1 stays f32 (32B rows leave the v5e 2 ns/row gather
         # sweet spot). DF3D_F32_CONV=1 reverts to all-f32.
-        from df3d.ops.sparse import set_compute_dtype
-
         set_compute_dtype(jnp.bfloat16, min_channels=32)
 
     num_points = 260_000  # ~10-sweep nuScenes lidar
@@ -71,14 +116,16 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         num_points = 20_000
 
-    # sort-free bitrank voxelize for serving (probe 20): emits the stage-1
-    # word-rank table for free (reused by the subm plan build); semantics
-    # divergence vs the reference CUDA hard_voxelize: voxel mean runs over
-    # ALL points, not the first max_points. DF3D_SORT_VOX=1 reverts.
+    # sort-free bitrank voxelize for serving: emits the stage-1 word-rank
+    # table for free (reused by the subm plan build); semantics divergence
+    # vs the reference CUDA hard_voxelize: voxel mean runs over ALL points,
+    # not the first max_points. DF3D_SORT_VOX=1 flips the headline too; the
+    # exact-semantics section below always measures sort+f32.
     vox_method = "sort" if os.environ.get("DF3D_SORT_VOX") else "bitrank"
 
-    def centerpoint_fps(cfg, frame_list, iters=10):
+    def centerpoint_fps(cfg, frame_list, iters=10, vox=None):
         """Best-of-2 async-dispatch throughput over cycled frames."""
+        vox = vox or vox_method
         points0, valid0 = frame_list[0]
         ss = cfg.sparse_shape
         tcells = ss[0] * ss[1] * ss[2]
@@ -87,8 +134,8 @@ def main():
             return voxelize_batch(
                 points, valid, cfg.voxel_size, cfg.pc_range, cfg.grid_size,
                 cfg.max_voxels, cfg.max_points_per_voxel,
-                method=vox_method,
-                table_cells=tcells if vox_method == "bitrank" else None,
+                method=vox,
+                table_cells=tcells if vox == "bitrank" else None,
             )
 
         res = jax.jit(voxelize)(points0, valid0)
@@ -141,20 +188,55 @@ def main():
             **(dict(n_sweeps=2, n_azimuth=300, n_beams=16) if smoke else {}))
         real_frames.append((jnp.asarray(f[None]),
                             jnp.ones((1, num_points), bool)))
-    fps, fps_runs, variables = centerpoint_fps(
-        real_cfg, real_frames, iters=2 if smoke else 10)
 
     result = {
         "metric": "centerpoint_0075voxel_infer_fps_bs1",
-        "value": round(fps, 3),
+        "value": 0.0,
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 11.0, 3),
-        # both timing loops, so the best-of-2 choice is auditable (ADVICE r2)
-        "fps_runs": fps_runs,
+        "vs_baseline": 0.0,
         "workload": ("raycast_smoke" if smoke
                      else "raycast_10sweep_fitted_caps"),
         "stage_caps": list(real_caps),
+        "headline_config": (
+            ("f32_conv" if os.environ.get("DF3D_F32_CONV")
+             else "bf16_conv_min32")
+            + "+" + vox_method + "_vox"),
     }
+
+    # watchdog: if anything below hangs (relay stall, runaway remote
+    # compile), print what we have and exit before the driver's timeout
+    watchdog = threading.Timer(
+        max(_remaining(), 1.0),
+        lambda: (result.__setitem__(
+            "watchdog", f"budget {_BUDGET_S:.0f}s expired"),
+            _emit(result), os._exit(0)))
+    watchdog.daemon = True
+    watchdog.start()
+
+    fps, fps_runs, variables = centerpoint_fps(
+        real_cfg, real_frames, iters=2 if smoke else 10)
+    result["value"] = round(fps, 3)
+    result["vs_baseline"] = round(fps / 11.0, 3)
+    # both timing loops, so the best-of-2 choice is auditable (ADVICE r2)
+    result["fps_runs"] = fps_runs
+
+    # --- reference-exact numerics (f32 convs + sort hard_voxelize), same
+    # frames + caps: the like-for-like A/B that gates the serving defaults
+    # (ADVICE r3 medium). Skipped only when the headline ran exact already.
+    if not smoke and _remaining() > 420 and (
+            result["headline_config"] != "f32_conv+sort_vox"):
+        try:
+            set_compute_dtype(jnp.float32)
+            exact_fps, exact_runs, _ = centerpoint_fps(
+                real_cfg, real_frames, iters=10, vox="sort")
+            result["fps_exact_semantics"] = exact_fps
+            result["vs_baseline_exact"] = round(exact_fps / 11.0, 3)
+            result["fps_exact_runs"] = exact_runs
+        except Exception as e:  # pragma: no cover
+            result["exact_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            if not os.environ.get("DF3D_F32_CONV"):
+                set_compute_dtype(jnp.bfloat16, min_channels=32)
 
     # --- saturated workload (rounds 1-2 conditions, for comparability) ---
     sat_caps = ((16_000, 12_000, 8_000, 4_000) if smoke
@@ -171,23 +253,23 @@ def main():
     ).astype(np.float32)
     points = jnp.asarray(pts)
     valid = jnp.ones(points.shape[:2], bool)
-    try:
-        sat_fps, sat_runs, _ = centerpoint_fps(
-            cfg, [(points, valid)], iters=2 if smoke else 10)
-        result["fps_saturated_caps"] = sat_fps
-        result["vs_baseline_saturated"] = round(sat_fps / 11.0, 3)
-        result["fps_saturated_runs"] = sat_runs
-    except Exception as e:  # pragma: no cover
-        result["saturated_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    if smoke or _remaining() > 420:
+        try:
+            sat_fps, sat_runs, _ = centerpoint_fps(
+                cfg, [(points, valid)], iters=2 if smoke else 10)
+            result["fps_saturated_caps"] = sat_fps
+            result["vs_baseline_saturated"] = round(sat_fps / 11.0, 3)
+            result["fps_saturated_runs"] = sat_runs
+        except Exception as e:  # pragma: no cover
+            result["saturated_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if smoke:  # train/fused sections are separately tested; keep smoke fast
-        print(json.dumps(result))
+        _emit(result)
         return
 
     # training throughput (driver-visible; guarded so a failure or slow
     # compile can never lose the headline metric)
     try:
-        deadline = time.monotonic() + 15 * 60
         from df3d.train.schedules import adam_onecycle
         from df3d.train.trainer import (
             create_centerpoint_state, make_centerpoint_train_step,
@@ -195,7 +277,7 @@ def main():
 
         rng2 = np.random.RandomState(1)
         for bs in (1, 2):
-            if time.monotonic() > deadline:
+            if _remaining() < 420:
                 break
             tr_pts = jnp.asarray(np.tile(pts, (bs, 1, 1)))
             tr_valid = jnp.ones(tr_pts.shape[:2], bool)
@@ -239,6 +321,8 @@ def main():
     # BENCH_r*.json (VERDICT r2 weak #6). Guarded: a failure or slow
     # compile never loses the headline metric.
     try:
+        if _remaining() < 420:
+            raise TimeoutError(f"skipped: {_remaining():.0f}s budget left")
         from df3d.models.detectors.fused import FusedConfig, TransFusion3DDF
         from df3d.models.detectors.transfusion import (
             TransFusionConfig, transfusion_predict,
@@ -301,18 +385,19 @@ def main():
     except Exception as e:  # pragma: no cover
         result["fused_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    print(json.dumps(result))
+    result["bench_wall_s"] = round(time.monotonic() - _T0, 1)
+    _emit(result)
 
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line
-        print(json.dumps({
+        _emit({
             "metric": "centerpoint_0075voxel_infer_fps_bs1",
             "value": 0.0,
             "unit": "frames/sec",
             "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}"[:400],
-        }))
+        })
         sys.exit(0)

@@ -100,7 +100,7 @@ class SpMiddleResNetFHD(nn.Module):
             _sow_overflow(self, "down3", down3)
             x = SparseConvBNReLU(c3, subm=False, name="down3")(
                 x_conv2, down3, train)
-            plan3 = build_subm_plan(x, 3, with_x3=3 * c3 <= 128)
+            plan3 = build_subm_plan(x, 3)
             x = SparseBasicBlock(c3, name="res3a")(x, plan3, train)
             x_conv3 = SparseBasicBlock(c3, name="res3b")(x, plan3, train)
 
@@ -141,7 +141,7 @@ class SpMiddleResNetFHD(nn.Module):
         down4 = build_conv_plan(x_conv3, 3, 2, (0, 1, 1), max_out=n4)
         _sow_overflow(self, "down4", down4)
         x = SparseConvBNReLU(c4, subm=False, name="down4")(x_conv3, down4, train)
-        plan4 = build_subm_plan(x, 3, with_x3=3 * c4 <= 128)
+        plan4 = build_subm_plan(x, 3)
         x = SparseBasicBlock(c4, name="res4a")(x, plan4, train)
         x_conv4 = SparseBasicBlock(c4, name="res4b")(x, plan4, train)
 
@@ -215,9 +215,7 @@ class SparseEncoder(nn.Module):
                         x = SparseConvBNReLU(
                             ch, subm=False, name=f"stage{i}_down"
                         )(x, down, train)
-                        plan = build_subm_plan(
-                            x, 3,
-                            with_x3=3 * self.encoder_channels[i + 1][0] <= 128)
+                        plan = build_subm_plan(x, 3)
                 else:
                     x = SparseBasicBlock(ch, name=f"stage{i}_block{j}")(
                         x, plan, train
@@ -287,14 +285,14 @@ class VoxelBackBone8x(nn.Module):
         down3 = build_conv_plan(x_conv2, 3, 2, 1, max_out=n3)
         _sow_overflow(self, "down3", down3)
         x = SparseConvBNReLU(c3, subm=False, name="down3")(x_conv2, down3, train)
-        plan3 = build_subm_plan(x, 3, with_x3=3 * c3 <= 128)
+        plan3 = build_subm_plan(x, 3)
         x = SparseConvBNReLU(c3, subm=True, name="conv3a")(x, plan3, train)
         x_conv3 = SparseConvBNReLU(c3, subm=True, name="conv3b")(x, plan3, train)
 
         down4 = build_conv_plan(x_conv3, 3, 2, (0, 1, 1), max_out=n4)
         _sow_overflow(self, "down4", down4)
         x = SparseConvBNReLU(c4, subm=False, name="down4")(x_conv3, down4, train)
-        plan4 = build_subm_plan(x, 3, with_x3=3 * c4 <= 128)
+        plan4 = build_subm_plan(x, 3)
         x = SparseConvBNReLU(c4, subm=True, name="conv4a")(x, plan4, train)
         x_conv4 = SparseConvBNReLU(c4, subm=True, name="conv4b")(x, plan4, train)
 

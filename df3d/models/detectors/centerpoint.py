@@ -85,7 +85,10 @@ class CenterPoint(nn.Module):
         the stage-1 subm plan skip its pack_keys build."""
         # coords come from ops/voxelize.py -> key-sorted rows, padding last
         st = SparseTensor(voxel_features, voxel_coords, self.cfg.sparse_shape,
-                          rows_sorted=True, packed_table=packed_table)
+                          rows_sorted=True, packed_table=packed_table,
+                          packed_table_grid=(
+                              None if packed_table is None
+                              else tuple(self.cfg.sparse_shape)))
         caps = tuple(min(c, voxel_features.shape[1]) for c in self.cfg.stage_caps)
         bev, ms = SpMiddleResNetFHD(
             self.cfg.num_point_features, caps, fusion_hook=self.fusion_hook,

@@ -81,7 +81,10 @@ class VoxelRCNN(nn.Module):
         cfg = self.cfg
         # coords come from ops/voxelize.py -> key-sorted rows, padding last
         st = SparseTensor(voxel_features, voxel_coords, cfg.sparse_shape,
-                          rows_sorted=True, packed_table=packed_table)
+                          rows_sorted=True, packed_table=packed_table,
+                          packed_table_grid=(
+                              None if packed_table is None
+                              else tuple(cfg.sparse_shape)))
         caps = tuple(min(c, voxel_features.shape[1]) for c in cfg.stage_caps)
         bev, ms = VoxelBackBone8x(
             cfg.num_point_features, caps, fusion_hook=self.fusion_hook,

@@ -115,6 +115,9 @@ class SparseConv3d(nn.Module):
             feats, plan.out_coords, plan.out_spatial_shape,
             rows_sorted=plan.out_rows_sorted,
             packed_table=plan.out_packed,
+            packed_table_grid=(
+                tuple(plan.out_spatial_shape)
+                if plan.out_packed is not None else None),
         )
 
 

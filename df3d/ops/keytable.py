@@ -62,27 +62,21 @@ def num_blocks(cells: int) -> int:
     return (cells + BLOCK_CELLS - 1) // BLOCK_CELLS
 
 
-def _pack_words(words: jax.Array, ext: bool = False) -> jax.Array:
-    """uint32 bit words (nblk*_W,) -> packed (nblk, 16) int32 64B rows.
+def _pack_words(words: jax.Array) -> jax.Array:
+    """uint32 bit words (nblk*_W,) -> packed (nblk, 16) int32 64B rows
+    (slot 0 = exclusive rank prefix, slots 1-14 = bit words, slot 15 pad).
 
-    ext=True fills slot 15 (otherwise zero padding) with the NEXT block's
-    word 0, extending each row to the 480 bits [448*m, 448*(m+1)+32) so
-    `lookup3` can resolve rank+hit for three consecutive cells from one
-    gather. It is NOT the default: the (nblk, _W) reshape + column slice it
-    needs relayouts the multi-megaword bit array (r3 probe 2: +20 ms on
-    every plan build at nuScenes scale — the big-int-reshape rule), and the
-    in-model plan builders get their x3 plans from per-tap row arithmetic
-    instead. `lookup` ignores slot 15 either way."""
+    An "ext" variant (slot 15 = next block's word 0, enabling a 3-cell
+    lookup3 from one gather) was probed and REMOVED in round 4: the
+    (nblk, _W) reshape + column slice it needs relayouts the multi-megaword
+    bit array (r3 probe 2: +20 ms per plan build at nuScenes scale), and
+    its lookup3 consumer lost in-model (2.6x slower than 27 flat lookups).
+    See CLAUDE.md round-3 notes; re-derive from git history if needed."""
     nblk = words.shape[0] // _W
     wc = lax.population_count(words).astype(jnp.int32)
     blk = wc.reshape(nblk, _W).sum(-1)
     pre = jnp.cumsum(blk) - blk  # exclusive block prefix
-    if ext:
-        w2 = words.reshape(nblk, _W)
-        nxt0 = jnp.concatenate([w2[1:, 0], jnp.zeros((1,), jnp.uint32)])
-        last = lax.bitcast_convert_type(nxt0, jnp.int32)[:, None]
-    else:
-        last = jnp.zeros((nblk, 1), jnp.int32)
+    last = jnp.zeros((nblk, 1), jnp.int32)
     return jnp.concatenate(
         [pre[:, None],
          lax.bitcast_convert_type(words, jnp.int32).reshape(nblk, _W),
@@ -91,8 +85,7 @@ def _pack_words(words: jax.Array, ext: bool = False) -> jax.Array:
     )
 
 
-def pack_keys(keys: jax.Array, valid: jax.Array, cells: int,
-              ext: bool = False) -> jax.Array:
+def pack_keys(keys: jax.Array, valid: jax.Array, cells: int) -> jax.Array:
     """Build the packed table from UNIQUE keys (duplicates among valid rows
     would corrupt the bit scatter-add). keys (N,) int32 in [0, cells)."""
     nblk = num_blocks(cells)
@@ -109,7 +102,7 @@ def pack_keys(keys: jax.Array, valid: jax.Array, cells: int,
         jnp.zeros((nwords + 1,), jnp.uint32)
         .at[wslot].add(bit, mode="drop")[:nwords]
     )
-    return _pack_words(words, ext=ext)
+    return _pack_words(words)
 
 
 def pack_occupancy(occ: jax.Array, cells: int) -> jax.Array:
@@ -151,56 +144,3 @@ def lookup(packed: jax.Array, q: jax.Array, q_ok: jax.Array,
         hit_word = jnp.where(jw == i, wi, hit_word)
     hit = ((hit_word >> jb) & jnp.uint32(1)).astype(bool)
     return jnp.where(q_ok & hit, rank, miss)
-
-
-def lookup3(packed: jax.Array, qc: jax.Array, any_ok: jax.Array):
-    """Rank + presence for the THREE consecutive cells (qc-1, qc, qc+1)
-    from ONE row gather. REQUIRES an ext-packed table (pack_keys(...,
-    ext=True): slot 15 = next block's word 0). Standalone this is 2.8x
-    faster than 3 lookups (r3 probe 1), but IN-MODEL the 45-word masked-
-    popcount finish does not pipeline (r3 probe 2: 2.6x slower than the
-    27-tap lookup plan build) — the plan builders derive their x3 plans
-    from per-tap row arithmetic instead; kept for offline/probe use.
-
-    packed (nblk, 16) extended rows; qc (Q,) int32 CENTER cell keys in
-    [0, cells); any_ok (Q,) whether any of the three is queried.
-    Returns (ranks (3, Q) int32 — rank(qc-1+d) among present keys, always
-    well-defined; hits (3, Q) bool). qc == 0 handles the qc-1 == -1 edge
-    (rank 0, hit False).
-    """
-    nblk = packed.shape[0]
-    ql = qc - 1
-    blk = jnp.maximum(ql // BLOCK_CELLS, 0)  # ql == -1 -> block 0, e0 == -1
-    b = jnp.where(any_ok, blk, nblk)
-    row = lax.gather(
-        packed, b[:, None], _ROW_DN_T, slice_sizes=(1, 16), mode="clip"
-    )  # (16, Q)
-    row = lax.optimization_barrier(row)
-    e0 = ql - blk * BLOCK_CELLS  # extended in-row position of qc-1
-    pre = row[0]
-    words = [
-        lax.bitcast_convert_type(row[1 + i], jnp.uint32)
-        for i in range(_W + 1)  # w0..w13 + next block's w0
-    ]
-    ranks, hits = [], []
-    for d in range(3):
-        e = e0 + d  # in [-1, 449]
-        jw = e >> 5  # arithmetic shift: e == -1 -> -1, selects nothing
-        jb = (e & 31).astype(jnp.uint32)
-        partial = (jnp.uint32(1) << jb) - jnp.uint32(1)
-        rank = pre
-        hit_word = jnp.uint32(0)
-        for i in range(_W + 1):
-            mask = jnp.where(jw > i, _FULL,
-                             jnp.where(jw == i, partial, jnp.uint32(0)))
-            rank = rank + lax.population_count(
-                words[i] & mask).astype(jnp.int32)
-            hit_word = jnp.where(jw == i, words[i], hit_word)
-        # mask by any_ok: clip-mode routed never-queried rows to the LAST
-        # real block, whose bits would otherwise fabricate hits (lookup's
-        # contract: q_ok=False -> hit False)
-        hit = (((hit_word >> jb) & jnp.uint32(1)).astype(bool)
-               & (e >= 0) & any_ok)
-        ranks.append(rank)
-        hits.append(hit)
-    return jnp.stack(ranks), jnp.stack(hits)

@@ -1,10 +1,26 @@
-"""Pallas TPU kernel: fused gather-GEMM sparse convolution.
+"""Pallas TPU kernel: fused gather-GEMM sparse convolution (v2).
 
 The XLA tap-scan (df3d.ops.sparse.apply_sparse_conv) writes each gathered
 (N, Cin) tap matrix back to HBM before its matmul. This kernel keeps the
 ENTIRE feature table resident in VMEM (the backbones' stages fit: 120k x 16
-.. 30k x 128 ~ 8-16 MB) and, per output row tile, gathers the K tap rows
-from VMEM and feeds the MXU directly — no HBM traffic for gathered values.
+.. 30k x 128 ~ 8-16 MB) and, per kernel tap, permutes the full table and
+feeds the MXU directly — no HBM traffic for gathered values.
+
+Mosaic's ONLY lowerable gather form is take_along_axis(x, idx, axis) with
+idx.shape == x.shape — a per-lane row permutation
+(jax/_src/pallas/mosaic/lowering.py:2464-2524). A round-1 "v1" kernel that
+gathered arbitrary row tiles violated that and never lowered on device; it
+was REMOVED in round 4 (git history has it). This v2 satisfies the rule by
+making the output tile BE the whole table: grid over taps, accumulate into
+a resident (N1, Cout) f32 block. VMEM budget: N1*(Cin*sz + 4*Cout) + 4*N1;
+bf16 tables halve the first term.
+
+STATUS (round 3, probe 18D): the v2 kernel passes jax export lowering for
+TPU, but this environment's remote Mosaic compile service 500s on any
+multi-vreg gather, so it has never executed on the chip — interpret-mode
+numerics + lowering are tested (tests/test_sparse_conv_pallas.py), routing
+is opt-in via sparse.set_pallas_conv(True), and the XLA tap-scan is the
+production path. Re-probe on a newer toolchain before enabling.
 
 Forward-only with a custom VJP that routes gradients through the XLA
 implementation (the reference pairs its CUDA kernels with a slow reference
@@ -21,114 +37,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from df3d.ops import sparse as sparse_xla
-
-
-def _kernel(feat_ref, idx_ref, w_ref, out_ref, *, taps, tile):
-    """feat (1, N+1, Cin) VMEM; idx (1, TILE, K); w (K, Cin, Cout);
-    out (1, TILE, Cout)."""
-    feats = feat_ref[0]
-    cin = feats.shape[-1]
-    acc = jnp.zeros((tile, w_ref.shape[-1]), jnp.float32)
-    for k in range(taps):
-        # Mosaic supports per-lane gathers (take_along_axis with indices
-        # shaped like the output), not row-index jnp.take
-        idx2d = jnp.broadcast_to(idx_ref[0, k, :][:, None], (tile, cin))
-        rows = jnp.take_along_axis(feats, idx2d, axis=0)  # (TILE, Cin)
-        acc += jnp.dot(rows, w_ref[k], preferred_element_type=jnp.float32)
-    out_ref[0] = acc
-
-
-def sparse_conv_pallas_single(features, gather_idx, weights, tile=512,
-                              interpret=False):
-    """Single-sample fused conv. features (N+1, Cin) (LAST row must be the
-    zero pad row); gather_idx (K, N_out) tap-major; weights (K, Cin, Cout)."""
-    n1, cin = features.shape
-    k, n_out = gather_idx.shape
-    cout = weights.shape[-1]
-    pad = (-n_out) % tile
-    if pad:
-        gather_idx = jnp.pad(gather_idx, ((0, 0), (0, pad)),
-                             constant_values=n1 - 1)
-    grid = ((n_out + pad) // tile,)
-    out = pl.pallas_call(
-        functools.partial(_kernel, taps=k, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((1, n_out + pad, cout), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n1, cin), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tile), lambda t: (0, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, cin, cout), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile, cout), lambda t: (0, t, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(features[None], gather_idx[None], weights)
-    return out[0, :n_out]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def apply_sparse_conv_pallas(features, plan_gather_idx, weights, tile=512,
-                             interpret=False):
-    """Batched fused conv: features (B, N, Cin); plan_gather_idx
-    (B, K, N_out) tap-major (or flat (B, K*N_out), reshaped here) with
-    N = 'miss'; weights (K, Cin, Cout) -> (B, N_out, Cout)."""
-    b, n, cin = features.shape
-    if plan_gather_idx.ndim == 2:
-        plan_gather_idx = plan_gather_idx.reshape(
-            b, weights.shape[0], -1)
-    padded = jnp.concatenate(
-        [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
-    )
-    out = jax.vmap(
-        lambda f, i: sparse_conv_pallas_single(f, i, weights, tile, interpret)
-    )(padded, plan_gather_idx)
-    return out.astype(features.dtype)
-
-
-def _fwd(features, plan_gather_idx, weights, tile, interpret):
-    out = apply_sparse_conv_pallas(features, plan_gather_idx, weights, tile,
-                                   interpret)
-    return out, (features, plan_gather_idx, weights)
-
-
-def _bwd(tile, interpret, res, g):
-    features, gather_idx, weights = res
-
-    def ref_fn(f, w):
-        k = w.shape[0]
-        flat = gather_idx.reshape(gather_idx.shape[0], -1)
-        n_out = flat.shape[1] // k
-        plan = sparse_xla.ConvPlan(
-            flat, jnp.zeros((flat.shape[0], n_out, 3), jnp.int32),
-            (1, 1, 1), (k, 1, 1),
-        )
-        # force_xla: with PALLAS_V2_CONV routing enabled this reference
-        # function would otherwise re-enter the pallas path and its own
-        # custom vjp — unbounded trace-time recursion
-        return sparse_xla.apply_sparse_conv(f, plan, w, force_xla=True)
-
-    _, vjp = jax.vjp(ref_fn, features, weights)
-    df, dw = vjp(g)
-    return df, None, dw
-
-
-apply_sparse_conv_pallas.defvjp(_fwd, _bwd)
-
-
-# ---------------------------------------------------------------------------
-# v2: whole-table-resident kernel. Mosaic's ONLY lowerable gather is
-# take_along_axis(x, idx, axis) with idx.shape == x.shape (a per-lane row
-# permutation, lowering.py:2464-2524) — the r1 kernel above violates that
-# (tile != table) and thus never lowered on device. v2 satisfies it by
-# making the output tile BE the whole table: grid over taps, the (N1, Cin)
-# table stays VMEM-resident, each step permutes the full table and feeds
-# the MXU, accumulating into a resident (N1, Cout) f32 output block.
-# VMEM budget: N1*(Cin*sz + 4*Cout) + 4*N1; bf16 tables halve the first
-# term (stage 2/3 need it; stage 1 fits in f32).
-# ---------------------------------------------------------------------------
 
 
 def _kernel_v2(idx_ref, x_ref, w_ref, o_ref):
@@ -223,7 +131,24 @@ def _fwd_v2(features, plan_gather_idx, weights, table_dtype, interpret):
 
 
 def _bwd_v2(table_dtype, interpret, res, g):
-    return _bwd(None, interpret, res, g)
+    features, gather_idx, weights = res
+
+    def ref_fn(f, w):
+        k = w.shape[0]
+        flat = gather_idx.reshape(gather_idx.shape[0], -1)
+        n_out = flat.shape[1] // k
+        plan = sparse_xla.ConvPlan(
+            flat, jnp.zeros((flat.shape[0], n_out, 3), jnp.int32),
+            (1, 1, 1), (k, 1, 1),
+        )
+        # force_xla: with PALLAS_V2_CONV routing enabled this reference
+        # function would otherwise re-enter the pallas path and its own
+        # custom vjp — unbounded trace-time recursion
+        return sparse_xla.apply_sparse_conv(f, plan, w, force_xla=True)
+
+    _, vjp = jax.vjp(ref_fn, features, weights)
+    df, dw = vjp(g)
+    return df, None, dw
 
 
 apply_sparse_conv_pallas_v2.defvjp(_fwd_v2, _bwd_v2)
@@ -233,13 +158,16 @@ _PALLAS_CONV_OK: bool | None = None
 
 
 def pallas_sparse_conv_available() -> bool:
+    """Capability probe: can the v2 kernel actually compile AND run on the
+    current backend? (This toolchain's remote Mosaic compile 500s on
+    multi-vreg gathers — probe 18D — so expect False off-interpret.)"""
     global _PALLAS_CONV_OK
     if _PALLAS_CONV_OK is None:
         try:
             f = jnp.ones((1, 64, 8))
-            idx = jnp.zeros((1, 32, 27), jnp.int32)
+            idx = jnp.zeros((1, 27, 64), jnp.int32)
             w = jnp.ones((27, 8, 8))
-            apply_sparse_conv_pallas(f, idx, w, tile=32).block_until_ready()
+            apply_sparse_conv_pallas_v2(f, idx, w).block_until_ready()
             _PALLAS_CONV_OK = True
         except Exception:
             _PALLAS_CONV_OK = False

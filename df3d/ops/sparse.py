@@ -48,8 +48,8 @@ class SparseTensor:
 
     `rows_sorted` declares that valid rows are sorted ascending by spatial
     key within each sample (padding last) — true for everything produced by
-    ops/voxelize.py and by strided conv plans. It unlocks the fast paths in
-    the plan builders (rank == row id) and the x-window conv gathers."""
+    ops/voxelize.py and by strided conv plans. It unlocks the fast path in
+    the plan builders (rank == row id)."""
 
     features: jax.Array  # (B, N, C)
     coords: jax.Array    # (B, N, 3) int32 (z, y, x); -1 rows are padding
@@ -62,8 +62,15 @@ class SparseTensor:
     # is a truncated cell (no row). Producers: ops/voxelize.py bitrank
     # method, strided conv plans (ConvPlan.out_packed). build_subm_plan
     # reuses it instead of re-packing the keys (~1-2 ms per stage at
-    # nuScenes scale).
+    # nuScenes scale). `packed_table_grid` records the (Z, Y, X) grid the
+    # table was built over; the reuse guard requires it to equal THIS
+    # tensor's spatial_shape exactly — different factorizations of the
+    # same cell/block count linearize keys differently, and a weaker
+    # block-count-only match would silently yield wrong gather rows
+    # (ADVICE r3).
     packed_table: jax.Array | None = None
+    packed_table_grid: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def valid(self) -> jax.Array:  # (B, N)
@@ -142,20 +149,15 @@ def _rank_to_row(rank, keys, n, rows_sorted):
     return order_pad[jnp.minimum(rank, n)]
 
 
-# Kill-switch for the whole x-triple machinery (plan builders skip x3
-# emission, apply_sparse_conv takes the flat path). DEFAULT OFF: despite
-# winning every isolated probe (blocks 12.4 vs 24.8 ms, r3 probe 7), the
-# x3 path costs +23 ms IN-MODEL on the v5e (r3_probe9: 203.4 vs 180.4 ms
-# e2e) — an unexplained composition effect that survived the packed->tuple
-# plan refactor, producer barriers, and three bisect rounds. The machinery
-# stays (golden + gradient tested) for future re-probes.
-X3_ENABLED = False
-
-
-def set_x3_enabled(flag: bool) -> None:
-    global X3_ENABLED
-    X3_ENABLED = flag
-
+# NOTE (round 4): the round-3 "x3" x-triple conv machinery (serve each
+# (dz, dy) tap group with ONE gather from a width-3C triple table) was
+# REMOVED. It won every isolated probe (triple9 2.0 vs flat27 6.2 ms at
+# stage 1, r3 probe 7) but cost +23 ms IN-MODEL on the v5e (r3 probe 9:
+# 203.4 vs 180.4 ms e2e) — a composition effect that survived a packed->
+# tuple plan refactor, producer barriers, and three bisect rounds. The
+# finding (and the builder design: per-tap rank arithmetic on consecutive
+# keys, _x3_from_tap_rows at git tag/commits around f8eec46) lives in
+# CLAUDE.md; re-derive from history if a future chip changes the math.
 
 # Reuse pre-built SparseTensor.packed_table in build_subm_plan (skips the
 # per-stage pack_keys rebuild). Exact — same ranks either way; toggleable
@@ -188,28 +190,13 @@ class ConvPlan:
     changes the TPU tiling (T(1024) -> T(8,128)) and measured ~30 ms at
     nuScenes scale — and the conv body consumes flat indices anyway.
     Reusable across layers with identical coords — the analog of spconv's
-    indice_key.
-
-    `x3` (round 3): when the kernel's x extent is 3 and input rows are
-    key-sorted, the three x-adjacent taps of every (dz, dy) group land on
-    CONSECUTIVE input rows (consecutive integer keys -> consecutive ranks),
-    so the conv body can serve each group with ONE single-row gather from a
-    width-3C "triple table" instead of three — 3.1x faster at stage-1 scale
-    (tools/probes/r3_probe1.py). x3 is a tuple (anchor int32, m0, m1, m2
-    float32), each (B, G, N_out) with G = K/3 groups in (dz, dy) row-major
-    order: anchor = rank of the center cell (present taps sit at rows
-    a-1 / a / a+hit(center)), m* = tap-valid multiplier masks. Stored as
-    SEPARATE plain arrays, not packed bits: extracting bits from one packed
-    array after the barrier relayouts against the conv's gather output and
-    cost +15 ms per stage in-model (r3 probes 8/8b) — multiplier-ready
-    arrays reproduce the exact probed-fast form (r3 probe 5 V4)."""
+    indice_key."""
 
     gather_idx: jax.Array  # (B, K*N_out) int32 in [0, N_in], tap-major
     out_coords: jax.Array  # (B, N_out, 3) int32
     out_spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     kernel_size: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     out_rows_sorted: bool = dataclasses.field(default=False, metadata=dict(static=True))
-    x3: tuple | None = None  # (anchor i32, m0, m1, m2 f32) each (B, G, N)
     # strided plans: TRUE dilated output occupancy per sample BEFORE the
     # static cap (spconv never truncates — indice.cc allocates dynamically;
     # this makes df3d's cap overflow observable: overflow = max(0,
@@ -271,26 +258,7 @@ def _centered_offsets(ksize):
     ]
 
 
-def _x3_from_tap_rows(rows_t, n):
-    """Build the x3 plan from per-tap row vectors (list of K (N,) int32,
-    x-fastest tap order). The 3 x-adjacent taps of a group hold consecutive
-    ranks, so the anchor a (rows sit at a-1 / a / a+hit(center)) recovers
-    as r1, else r2 (rank(k+1) == rank(k) when the center is absent), else
-    r0 + 1. Pure VPU ops — no gathers, no reshapes of big flat arrays.
-    Returns (anchor (G, N) int32, m0, m1, m2 (G, N) float32)."""
-    anchors, ms = [], ([], [], [])
-    for gi in range(len(rows_t) // 3):
-        r0, r1, r2 = rows_t[3 * gi], rows_t[3 * gi + 1], rows_t[3 * gi + 2]
-        p0, p1, p2 = r0 < n, r1 < n, r2 < n
-        anchors.append(jnp.where(
-            p1, r1, jnp.where(p2, r2, jnp.where(p0, r0 + 1, n))))
-        for lst, pb in zip(ms, (p0, p1, p2)):
-            lst.append(pb.astype(jnp.float32))
-    return (jnp.stack(anchors), jnp.stack(ms[0]), jnp.stack(ms[1]),
-            jnp.stack(ms[2]))
-
-
-def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
+def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
     """Submanifold plan: output sites = input sites; neighbor at tap k is
     input site + k - (ksize-1)//2.
 
@@ -311,26 +279,17 @@ def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
 
     cells = z * y * x
     use_bitrank = _use_bitrank(st.batch_size, cells)
-    # x-triple plans: derived from the per-tap row vectors by pure VPU
-    # arithmetic (rows of each (dz, dy) group are consecutive ranks under
-    # the sorted-rows invariant — see ConvPlan.x3 and _derive_x3). A
-    # lookup3-based builder (one extended-row gather per group) was probed
-    # and LOSES in-model: its 45-word masked-popcount finish doesn't
-    # pipeline (r3 probe 2: 32.6 vs 12.4 ms at stage-1 scale).
-    # with_x3=False skips the derivation (27 static slices + packing,
-    # ~+2.5 ms at 120k) — callers pass False for stages whose channel
-    # count forces the flat conv body anyway (3*cin > 128).
-    use_x3 = (X3_ENABLED and with_x3 and use_bitrank and st.rows_sorted
-              and ksize[2] == 3)
 
     # pre-built table reuse: ranks in a producer-supplied table count the
     # TRUE (uncapped) occupancy, so rank >= n means "cell occupied but its
     # row was truncated" -> clamp to the miss row. Requires the sorted-rows
-    # invariant (rank == row id) and a block count matching THIS grid.
+    # invariant (rank == row id) and a table built over EXACTLY this
+    # tensor's grid (cell/block counts collide across (Z, Y, X)
+    # factorizations — ADVICE r3).
     reuse = (
         PLAN_TABLE_REUSE and use_bitrank and st.rows_sorted
         and st.packed_table is not None
-        and st.packed_table.shape[-2] == keytable.num_blocks(cells)
+        and st.packed_table_grid == tuple(st.spatial_shape)
     )
 
     def one(coords, keys, valid, pre_packed):
@@ -361,46 +320,30 @@ def build_subm_plan(st: SparseTensor, ksize, with_x3: bool = True) -> ConvPlan:
             rows = _lookup(
                 keys[order], jnp.where(ok, q, _INT_MAX - 1), order, n
             )
-        x3 = None
-        if use_x3:
-            # derive from STATIC slices of the flat rows — per-tap lookup
-            # calls break the one-big-gather pipeline (49 ms vs 12 at st1
-            # scale, r3 probe 2b) and a (K*N,)->(K,N) reshape retiles
-            segs = [
-                jax.lax.slice(rows, (t * n,), ((t + 1) * n,))
-                for t in range(k_total)
-            ]
-            x3 = _x3_from_tap_rows(segs, n)
-        return rows, x3
+        return rows
 
     # python-unrolled over the (small) batch: vmap's gather batching rule
     # rewrites the transposed-output gather off XLA:TPU's fast path
     # (measured 4x slower at nuScenes scale)
     keys_all, valid_all = st.keys(), st.valid
-    outs = [
+    gather = jnp.stack([
         one(st.coords[b], keys_all[b], valid_all[b],
             st.packed_table[b] if reuse else None)
         for b in range(st.batch_size)
-    ]
-    gather = jnp.stack([o[0] for o in outs])
-    x3 = (
-        tuple(jnp.stack([o[1][j] for o in outs]) for j in range(4))
-        if use_x3 else None
-    )
+    ])
     # materialize: without the barrier XLA fuses the rulebook build into
     # every consumer conv's gather-index computation, re-running the table
     # lookups once per layer that shares the plan
     idx2d = _maybe_idx2d(gather, ksize[0] * ksize[1] * ksize[2],
                          st.features.shape[1])
     parts = jax.lax.optimization_barrier(
-        tuple(p for p in (gather, x3, idx2d) if p is not None))
+        tuple(p for p in (gather, idx2d) if p is not None))
     parts = list(parts)
     gather = parts.pop(0)
-    x3 = parts.pop(0) if x3 is not None else None
     idx2d = parts.pop(0) if idx2d is not None else None
     return ConvPlan(
         gather, st.coords, st.spatial_shape, ksize,
-        out_rows_sorted=st.rows_sorted, x3=x3, idx2d=idx2d,
+        out_rows_sorted=st.rows_sorted, idx2d=idx2d,
     )
 
 
@@ -425,8 +368,6 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     k_count = ksize[0] * ksize[1] * ksize[2]
     cells_out = oz * oy * ox
     dense_out = _use_bitrank(st.batch_size, cells_out)
-    use_x3 = (X3_ENABLED and dense_out and st.rows_sorted
-              and ksize[2] == 3)
 
     # per-dim candidate count: o in [ceil((i+pad-ks+1)/s), floor((i+pad)/s)]
     # has at most ceil(ks/s) integers — enumerate those instead of all K taps
@@ -550,18 +491,12 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             # the output cell exactly (resid construction).
             first_r = jnp.full((max_out,), n, jnp.int32)
             first_k = jnp.zeros((max_out,), jnp.int32)
-            segs = []
             for t in range(k_count):
                 seg = jax.lax.dynamic_slice_in_dim(
                     gidx, t * max_out, max_out)
-                segs.append(seg)
                 found = (seg < n) & (first_r == n)
                 first_r = jnp.where(found, seg, first_r)
                 first_k = jnp.where(found, t, first_k)
-
-            # x3 plan from the per-tap segments (see _x3_from_tap_rows /
-            # ConvPlan.x3)
-            x3_rows = _x3_from_tap_rows(segs, n) if use_x3 else None
             ovalid = first_r < n
             in_key = jnp.concatenate(
                 [keys, jnp.array([0], jnp.int32)])[jnp.minimum(first_r, n)]
@@ -579,7 +514,7 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             )
             true_occ = occ4.sum(dtype=jnp.int32)
             # gidx stays FLAT (K*max_out,)
-            return gidx, out_coords, x3_rows, true_occ, packed
+            return gidx, out_coords, true_occ, packed
 
         skey = jnp.sort(cand_key)
         first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])
@@ -628,7 +563,7 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
         gidx = _lookup(skeys, jnp.where(ok, q, _INT_MAX - 1), order, n)
         true_occ = first.sum(dtype=jnp.int32)  # uniques BEFORE the cap
         # stays FLAT (K*max_out,); no packed table on the sort fallback
-        return gidx, out_coords, None, true_occ, None
+        return gidx, out_coords, true_occ, None
 
     # python-unrolled over the batch (see build_subm_plan)
     keys_all, valid_all = st.keys(), st.valid
@@ -638,29 +573,24 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
     ]
     gather = jnp.stack([o[0] for o in outs])
     out_coords = jnp.stack([o[1] for o in outs])
-    x3 = (
-        tuple(jnp.stack([o[2][j] for o in outs]) for j in range(4))
-        if use_x3 else None
-    )
-    true_occ = jnp.stack([o[3] for o in outs])
+    true_occ = jnp.stack([o[2] for o in outs])
     out_packed = (
-        jnp.stack([o[4] for o in outs])
-        if PLAN_TABLE_REUSE and outs[0][4] is not None else None
+        jnp.stack([o[3] for o in outs])
+        if PLAN_TABLE_REUSE and outs[0][3] is not None else None
     )
     idx2d = _maybe_idx2d(gather, ksize[0] * ksize[1] * ksize[2],
                          st.features.shape[1])
     parts = jax.lax.optimization_barrier(
-        tuple(p for p in (gather, out_coords, x3, idx2d, out_packed)
+        tuple(p for p in (gather, out_coords, idx2d, out_packed)
               if p is not None))
     parts = list(parts)
     gather = parts.pop(0)
     out_coords = parts.pop(0)
-    x3 = parts.pop(0) if x3 is not None else None
     idx2d = parts.pop(0) if idx2d is not None else None
     out_packed = parts.pop(0) if out_packed is not None else None
     return ConvPlan(
         gather, out_coords, (oz, oy, ox), ksize, out_rows_sorted=True,
-        x3=x3, true_occ=true_occ, idx2d=idx2d, out_packed=out_packed,
+        true_occ=true_occ, idx2d=idx2d, out_packed=out_packed,
     )
 
 
@@ -724,19 +654,6 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
         )
         return out[:, :n_out].astype(features.dtype)
 
-    # x-triple path (r3): one wide single-row gather serves the 3
-    # x-adjacent taps of each (dz, dy) group. v5e single-row gathers stay
-    # at the ~1.5-2.2 ns/row floor only while the row is <= 128 LANES
-    # (channels) — above that they fall off a cliff (192ch: 3.75 ns, 384ch:
-    # 8.2 ns; tools/probes/r3_probe1.py) — so full triples up to
-    # 3*cin <= 128. In-model A/B (r3 probe 2): triple 7.81 vs flat
-    # 12.75 ms for 2 chained stage-1 convs, down conv 2.62 vs 4.95; the
-    # (2C pair + 1C single) split for 64-ch stages LOSES (3.91 vs 3.12) —
-    # stages above 42 channels stay flat.
-    if X3_ENABLED and plan.x3 is not None and 3 * cin <= 128:
-        out = _conv_x3_triple(features, plan, weights, precision)
-        return out.astype(features.dtype)
-
     padded = jnp.concatenate(
         [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
     ).reshape(b * (n_in + 1), cin)
@@ -758,72 +675,5 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
         preferred_element_type=jnp.float32, precision=precision,
     )
     return out.astype(features.dtype)
-
-
-_DN_ROW = jax.lax.GatherDimensionNumbers(
-    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
-)
-
-
-def _x3_parts(plan):
-    """Unpack the x3 plan -> (anchor, m0, m1, m2), each (B, G, N_out)."""
-    return plan.x3
-
-
-def _group_weights(weights, g_cnt, cin, cout):
-    """(K, Cin, Cout) row-major taps -> (G, 3*Cin, Cout) x-triple groups."""
-    return weights.reshape(g_cnt, 3, cin, cout).reshape(g_cnt, 3 * cin, cout)
-
-
-def _conv_x3_triple(features, plan, weights, precision):
-    """3*cin <= 128: gather (3C,)-wide rows from the shifted-concat triple
-    table at the group anchors; one grouped GEMM.
-
-    Present taps sit at rows a-1 / a / a+hit(center): the +1 tap reads
-    subblock 2 normally but subblock 1 when the center cell is ABSENT
-    (rank(k+1) == rank(k) then) — handled by a per-row select into block 2.
-    Of the masking forms probed (r3 probe 5, st2 shape): this select-3C
-    form costs 3.02 ms vs 7.50 for a 4th-correction-block operand and 4.79
-    for the flat 27-tap body; the pure gather+einsum floor is 1.70."""
-    b, n_in, cin = features.shape
-    anchor, m0, m1, m2 = _x3_parts(plan)
-    _, g_cnt, n_out = anchor.shape
-    cout = weights.shape[-1]
-    dt = features.dtype
-
-    # materialize the input FIRST: the triple build reads `padded` via
-    # three shifted slices, and XLA re-runs a fused producer once per
-    # consumer — without this barrier the upstream BN/ReLU/residual chain
-    # is recomputed 3x per conv (r3 probe 6: +12 ms per x3-active stage
-    # in-model while every isolated-conv A/B won)
-    features = jax.lax.optimization_barrier(features)
-    pad = jnp.zeros((b, 1, cin), dt)
-    padded = jnp.concatenate([pad, features, pad, pad], axis=1)  # (B, N+3, C)
-    triple = jnp.concatenate(
-        [padded[:, :-2], padded[:, 1:-1], padded[:, 2:]], axis=-1
-    )  # (B, N_in+1, 3C); row r = [f[r-1], f[r], f[r+1]]
-    triple = jax.lax.optimization_barrier(triple)
-
-    idx = anchor + (
-        jnp.arange(b, dtype=jnp.int32) * (n_in + 1)
-    )[:, None, None]
-    g = jax.lax.gather(
-        triple.reshape(b * (n_in + 1), 3 * cin), idx.reshape(-1, 1),
-        _DN_ROW, slice_sizes=(1, 3 * cin), mode="clip",
-    ).reshape(b, g_cnt, n_out, 3 * cin)
-
-    g1 = g[..., cin:2 * cin]
-    operand = jnp.concatenate(
-        [g[..., :cin] * m0.astype(dt)[..., None],
-         g1 * m1.astype(dt)[..., None],
-         jnp.where((m1 > 0.5)[..., None], g[..., 2 * cin:], g1)
-         * m2.astype(dt)[..., None]],
-        axis=-1,
-    )  # (B, G, N, 3C)
-    w3 = _group_weights(weights, g_cnt, cin, cout)
-    return jnp.einsum(
-        "bgnc,gcd->bnd", operand, w3,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
 
 

@@ -5,8 +5,6 @@ reference impl + agreement check); here the golden model is XLA's dense 3D
 convolution on the densified sparse tensor.
 """
 
-import contextlib
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,18 +13,6 @@ import df3d.ops.sparse as _sp
 from df3d.ops.sparse import (
     SparseTensor, apply_sparse_conv, build_conv_plan, build_subm_plan,
 )
-
-
-@contextlib.contextmanager
-def x3_enabled():
-    """The x3 machinery defaults OFF (in-model regression, see sparse.py
-    X3_ENABLED); force it on so its numerics stay golden-tested."""
-    prev = _sp.X3_ENABLED
-    _sp.X3_ENABLED = True
-    try:
-        yield
-    finally:
-        _sp.X3_ENABLED = prev
 
 
 def _random_sparse(rng, batch=2, shape=(8, 12, 12), n=64, cin=5, pad_to=96,
@@ -244,94 +230,6 @@ def test_voxelize_cap_overflow():
     assert (np.asarray(res.point_voxel_id) == -1).sum() > 0
 
 
-def test_x3_triple_path_matches_dense():
-    with x3_enabled():
-        """rows_sorted plans carry the packed x3 triple plan; the triple-gather
-        conv body (3C <= 128 lanes) must match the dense golden AND the flat
-        path bit for bit (same masked gathers, same accumulation order up to
-        einsum grouping)."""
-        import dataclasses
-
-        rng = np.random.RandomState(21)
-        st = _random_sparse(rng, rows_sorted=True)
-        w = jnp.asarray(rng.randn(27, 5, 7).astype(np.float32) * 0.1)
-        plan = build_subm_plan(st, 3)
-        assert plan.x3 is not None and plan.x3[0].shape[1] == 9
-        out = apply_sparse_conv(st.features, plan, w)
-        ref = _dense_conv(st.to_dense(), w, (3, 3, 3), 1, 1)
-        _check_against_dense(st.coords, out, ref)
-        flat_plan = dataclasses.replace(plan, x3=None)
-        out_flat = apply_sparse_conv(st.features, flat_plan, w)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(out_flat), atol=1e-5)
-        # padding rows still produce exact zeros
-        pad_mask = np.asarray(st.coords)[..., 0] < 0
-        assert np.abs(np.asarray(out)[pad_mask]).max() == 0.0
-
-
-def test_x3_boundary_channels():
-    with x3_enabled():
-        """cin = 40 (3C = 120 <= 128) still rides the triple path; cin = 50
-        (3C = 150) must fall back to the flat path — both match dense."""
-        import dataclasses
-
-        for cin in (40, 50):
-            rng = np.random.RandomState(22 + cin)
-            st = _random_sparse(rng, cin=cin, rows_sorted=True)
-            w = jnp.asarray(rng.randn(27, cin, 6).astype(np.float32) * 0.05)
-            plan = build_subm_plan(st, 3)
-            assert plan.x3 is not None
-            out = apply_sparse_conv(st.features, plan, w)
-            out_flat = apply_sparse_conv(
-                st.features, dataclasses.replace(plan, x3=None), w)
-            np.testing.assert_allclose(
-                np.asarray(out), np.asarray(out_flat), atol=1e-4)
-            ref = _dense_conv(st.to_dense(), w, (3, 3, 3), 1, 1)
-            _check_against_dense(st.coords, out, ref)
-
-
-def test_x3_strided_path_matches_dense():
-    with x3_enabled():
-        """Strided plans derive x3 from the scatter-built rulebook segments
-        (fallback anchor recovery incl. the center-absent case)."""
-        import dataclasses
-
-        rng = np.random.RandomState(23)
-        st = _random_sparse(rng, shape=(8, 12, 12), n=80, pad_to=96,
-                            rows_sorted=True)
-        w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.1)
-        plan = build_conv_plan(st, 3, 2, 1, max_out=160)
-        assert plan.x3 is not None
-        out = apply_sparse_conv(st.features, plan, w)
-        ref = np.asarray(_dense_conv(st.to_dense(), w, (3, 3, 3), 2, 1))
-        _check_against_dense(plan.out_coords, out, ref)
-        out_flat = apply_sparse_conv(
-            st.features, dataclasses.replace(plan, x3=None), w)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(out_flat), atol=1e-5)
-
-
-def test_x3_gradients_match_flat():
-    with x3_enabled():
-        """d(out)/d(features) and d(out)/d(weights) agree between the triple
-        and flat conv bodies (autodiff through the shifted-concat table)."""
-        import dataclasses
-
-        rng = np.random.RandomState(24)
-        st = _random_sparse(rng, batch=1, n=48, pad_to=64, rows_sorted=True)
-        w = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32) * 0.1)
-        plan = build_subm_plan(st, 3)
-        flat = dataclasses.replace(plan, x3=None)
-
-        def loss(f, w_, p):
-            return (apply_sparse_conv(f, p, w_) ** 2).sum()
-
-        g1 = jax.grad(loss, argnums=(0, 1))(st.features, w, plan)
-        g2 = jax.grad(loss, argnums=(0, 1))(st.features, w, flat)
-        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
-        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
-
-
 def test_true_occupancy_and_overflow_observable():
     """Strided plans report TRUE dilated occupancy before the cap
     (spconv never truncates; overflow = true_occ - N_out must be
@@ -415,7 +313,8 @@ def test_packed_table_reuse_matches_rebuild():
         feats = jnp.zeros((2, max_out, 4))
         out_with = SparseTensor(
             feats, plan.out_coords, plan.out_spatial_shape,
-            rows_sorted=True, packed_table=plan.out_packed)
+            rows_sorted=True, packed_table=plan.out_packed,
+            packed_table_grid=tuple(plan.out_spatial_shape))
         out_without = SparseTensor(
             feats, plan.out_coords, plan.out_spatial_shape, rows_sorted=True)
         p_with = build_subm_plan(out_with, 3)
@@ -431,7 +330,8 @@ def test_packed_table_reuse_toggle_and_mismatch_fallback():
     plan = build_conv_plan(st, 3, 2, 1, max_out=64)
     out = SparseTensor(
         jnp.zeros((1, 64, 3)), plan.out_coords, plan.out_spatial_shape,
-        rows_sorted=True, packed_table=plan.out_packed)
+        rows_sorted=True, packed_table=plan.out_packed,
+        packed_table_grid=tuple(plan.out_spatial_shape))
     ref = build_subm_plan(out, 3).gather_idx
     # toggle off -> rebuild path, same answer
     _sp.set_plan_table_reuse(False)
@@ -440,13 +340,17 @@ def test_packed_table_reuse_toggle_and_mismatch_fallback():
     finally:
         _sp.set_plan_table_reuse(True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(alt))
-    # a table whose block count mismatches the grid is ignored, not used
-    bad = SparseTensor(
-        jnp.zeros((1, 64, 3)), plan.out_coords, plan.out_spatial_shape,
-        rows_sorted=True,
-        packed_table=jnp.zeros((1, 3, 16), jnp.int32))
-    np.testing.assert_array_equal(
-        np.asarray(build_subm_plan(bad, 3).gather_idx), np.asarray(ref))
+    # a table built over a DIFFERENT grid is ignored, not used — including
+    # a same-cell-count (Z, Y, X) refactorization, which a block-count or
+    # cell-count guard would have accepted (ADVICE r3)
+    oz, oy, ox = plan.out_spatial_shape
+    for bad_grid in ((3, 8, 56), (oz, ox, oy)):
+        bad = SparseTensor(
+            jnp.zeros((1, 64, 3)), plan.out_coords, plan.out_spatial_shape,
+            rows_sorted=True, packed_table=plan.out_packed,
+            packed_table_grid=bad_grid)
+        np.testing.assert_array_equal(
+            np.asarray(build_subm_plan(bad, 3).gather_idx), np.asarray(ref))
 
 
 def test_voxelize_bitrank_table_feeds_subm_plan():
@@ -462,7 +366,8 @@ def test_voxelize_bitrank_table_feeds_subm_plan():
                    method="bitrank", table_cells=17 * 16 * 16)
     # voxelize() is per-sample; add the batch dim to everything
     st = SparseTensor(res.features[None], res.coords[None], (17, 16, 16),
-                      rows_sorted=True, packed_table=res.packed_table[None])
+                      rows_sorted=True, packed_table=res.packed_table[None],
+                      packed_table_grid=(17, 16, 16))
     plan = build_subm_plan(st, 3)
     w = jnp.asarray(rng.randn(27, 4, 6).astype(np.float32))
     got = apply_sparse_conv(st.features, plan, w)

@@ -1,10 +1,9 @@
-"""Pallas fused gather-GEMM conv (interpret mode) vs the XLA tap-scan."""
+"""Pallas fused gather-GEMM conv v2 (interpret mode) vs the XLA tap-scan."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from df3d.ops.pallas.sparse_conv_kernel import apply_sparse_conv_pallas
 from df3d.ops.sparse import (
     SparseTensor, apply_sparse_conv, build_subm_plan,
 )
@@ -24,37 +23,6 @@ def _random_sparse(rng, batch=2, shape=(6, 10, 10), n=40, pad=64, cin=8):
     return SparseTensor(
         jnp.asarray(np.stack(feats)), jnp.asarray(np.stack(coords)), shape
     )
-
-
-def test_pallas_conv_matches_xla():
-    rng = np.random.RandomState(0)
-    st = _random_sparse(rng)
-    plan = build_subm_plan(st, 3)
-    w = jnp.asarray(rng.randn(27, 8, 16).astype(np.float32) * 0.1)
-    want = np.asarray(apply_sparse_conv(st.features, plan, w))
-    got = np.asarray(
-        apply_sparse_conv_pallas(st.features, plan.gather_idx, w, tile=32,
-                                 interpret=True)
-    )
-    np.testing.assert_allclose(got, want, atol=1e-4)
-
-
-def test_pallas_conv_backward_matches_xla():
-    rng = np.random.RandomState(1)
-    st = _random_sparse(rng, batch=1)
-    plan = build_subm_plan(st, 3)
-    w = jnp.asarray(rng.randn(27, 8, 4).astype(np.float32) * 0.1)
-
-    def f_pallas(f, w):
-        return apply_sparse_conv_pallas(f, plan.gather_idx, w, 32, True).sum()
-
-    def f_xla(f, w):
-        return apply_sparse_conv(f, plan, w).sum()
-
-    gp = jax.grad(f_pallas, argnums=(0, 1))(st.features, w)
-    gx = jax.grad(f_xla, argnums=(0, 1))(st.features, w)
-    for a, b in zip(gp, gx):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_pallas_conv_v2_matches_xla():

@@ -295,7 +295,7 @@ def main():
             jnp.asarray(np.random.RandomState(8).randn(
                 1, n_s, c_s).astype(np.float32)),
             co_s[None], grid, rows_sorted=True)
-        plan_s = jax.jit(lambda s: sp.build_subm_plan(s, 3, with_x3=False)
+        plan_s = jax.jit(lambda s: sp.build_subm_plan(s, 3)
                          )(st_s)
         w_s = jnp.asarray(np.random.RandomState(9).randn(
             27, c_s, c_s).astype(np.float32) * 0.05)

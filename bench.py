@@ -17,8 +17,11 @@ static cap (a strictly heavier-than-real workload; VERDICT r2 weak #7).
 The saturated-cap number is still reported as `fps_saturated_caps` for
 cross-round comparability, and `fps_exact_semantics` reports the
 reference-exact numerics config (f32 convs + sort-based hard_voxelize) so
-the serving-config (bf16+bitrank) headline is never the only number
-(ADVICE r3).
+the serving-config headline is never the only number (ADVICE r3). Round 4:
+the headline voxelizer is back to SORT (reference-exact) — probe 20's e2e
+A/B showed bitrank loses ~0.8 ms end-to-end despite winning isolated — so
+the only headline-vs-exact delta left is bf16 conv bodies (probe 19:
+-2.3 ms).
 
 Robustness (round 4, after BENCH_r03 rc=124/parsed=null): a watchdog
 THREAD prints whatever has been measured so far and exits 0 when the
@@ -90,22 +93,14 @@ def main():
     except Exception:
         pass
 
-    if os.environ.get("DF3D_BF16_TAIL"):
-        # bf16 neck+head inference tail (final branch convs stay f32);
-        # A/B probe switch — see models/layers.py set_compute_dtype_2d
-        from df3d.models.layers import set_compute_dtype_2d
+    # serving numerics: the shared profile knob (df3d/serving.py) — same
+    # switch the eval CLI and tests use, so the benched configuration is
+    # reachable everywhere (VERDICT r3 #4). DF3D_F32_CONV=1 benches the
+    # reference-exact profile instead.
+    from df3d.serving import apply_profile
 
-        set_compute_dtype_2d(jnp.bfloat16)
-
-    from df3d.ops.sparse import set_compute_dtype
-
-    if not os.environ.get("DF3D_F32_CONV"):
-        # bf16 sparse conv BODIES for >= 32-ch stages (default ON for the
-        # serving benchmark; accumulation stays f32). Probe 19 e2e A/B:
-        # min_ch=32 wins 2.3 ms (150.8 vs 153.1 ms), min_ch=64 is a wash;
-        # 16-ch stage 1 stays f32 (32B rows leave the v5e 2 ns/row gather
-        # sweet spot). DF3D_F32_CONV=1 reverts to all-f32.
-        set_compute_dtype(jnp.bfloat16, min_channels=32)
+    profile = apply_profile(
+        "exact" if os.environ.get("DF3D_F32_CONV") else "tpu_v5e")
 
     num_points = 260_000  # ~10-sweep nuScenes lidar
 
@@ -116,12 +111,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         num_points = 20_000
 
-    # sort-free bitrank voxelize for serving: emits the stage-1 word-rank
-    # table for free (reused by the subm plan build); semantics divergence
-    # vs the reference CUDA hard_voxelize: voxel mean runs over ALL points,
-    # not the first max_points. DF3D_SORT_VOX=1 flips the headline too; the
-    # exact-semantics section below always measures sort+f32.
-    vox_method = "sort" if os.environ.get("DF3D_SORT_VOX") else "bitrank"
+    # Voxelize default: SORT (reference-exact hard_voxelize semantics), per
+    # the profile. Probe 20 e2e A/B (on-chip, 2026-08-19): bitrank wins
+    # isolated (14.8 vs 16.1 ms) but LOSES end-to-end (154.3 vs 153.5 ms
+    # full fwd) — the free stage-1 table doesn't pay for the layout it
+    # forces downstream. DF3D_BITRANK_VOX=1 re-measures it.
+    vox_method = ("bitrank" if os.environ.get("DF3D_BITRANK_VOX")
+                  else profile.vox_method)
 
     def centerpoint_fps(cfg, frame_list, iters=10, vox=None):
         """Best-of-2 async-dispatch throughput over cycled frames."""
@@ -197,10 +193,7 @@ def main():
         "workload": ("raycast_smoke" if smoke
                      else "raycast_10sweep_fitted_caps"),
         "stage_caps": list(real_caps),
-        "headline_config": (
-            ("f32_conv" if os.environ.get("DF3D_F32_CONV")
-             else "bf16_conv_min32")
-            + "+" + vox_method + "_vox"),
+        "headline_config": profile.name + "+" + vox_method + "_vox",
     }
 
     # watchdog: if anything below hangs (relay stall, runaway remote
@@ -224,9 +217,9 @@ def main():
     # frames + caps: the like-for-like A/B that gates the serving defaults
     # (ADVICE r3 medium). Skipped only when the headline ran exact already.
     if not smoke and _remaining() > 420 and (
-            result["headline_config"] != "f32_conv+sort_vox"):
+            result["headline_config"] != "exact+sort_vox"):
         try:
-            set_compute_dtype(jnp.float32)
+            apply_profile("exact")
             exact_fps, exact_runs, _ = centerpoint_fps(
                 real_cfg, real_frames, iters=10, vox="sort")
             result["fps_exact_semantics"] = exact_fps
@@ -235,8 +228,7 @@ def main():
         except Exception as e:  # pragma: no cover
             result["exact_bench_error"] = f"{type(e).__name__}: {e}"[:200]
         finally:
-            if not os.environ.get("DF3D_F32_CONV"):
-                set_compute_dtype(jnp.bfloat16, min_channels=32)
+            apply_profile(profile.name)
 
     # --- saturated workload (rounds 1-2 conditions, for comparability) ---
     sat_caps = ((16_000, 12_000, 8_000, 4_000) if smoke
@@ -268,8 +260,13 @@ def main():
         return
 
     # training throughput (driver-visible; guarded so a failure or slow
-    # compile can never lose the headline metric)
+    # compile can never lose the headline metric). Runs under the EXACT
+    # profile: the serving bf16 globals are inference-only — r4 bench run 1
+    # showed the bf16 conv outputs reaching the dense tail break the train
+    # step's backward (conv_general_dilated dtype mismatch), and training
+    # numerics should match the reference's f32 anyway.
     try:
+        apply_profile("exact")
         from df3d.train.schedules import adam_onecycle
         from df3d.train.trainer import (
             create_centerpoint_state, make_centerpoint_train_step,
@@ -315,6 +312,8 @@ def main():
                 (time.perf_counter() - t0) / n, 3)
     except Exception as e:  # pragma: no cover
         result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        apply_profile(profile.name)
 
     # fused-model forward (TransFusion-3DDF, 6 cams 448x800, full scale) —
     # second driver-visible metric so fusion-path regressions show up in

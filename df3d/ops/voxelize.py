@@ -30,9 +30,16 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 class VoxelizationResult(NamedTuple):
     features: jax.Array  # (max_voxels, F) mean of points in voxel
     coords: jax.Array    # (max_voxels, 3) int32 (z, y, x); -1 padding
-    num_points: jax.Array  # (max_voxels,) int32 points per voxel (capped)
+    # points per voxel. METHOD-DEPENDENT semantics (ADVICE r3): "sort" caps
+    # at max_points_per_voxel and the mean runs over the kept prefix
+    # (reference hard_voxelize); "bitrank" counts ALL points in the cell
+    # (uncapped) and the mean runs over all of them.
+    num_points: jax.Array  # (max_voxels,) int32
     num_voxels: jax.Array  # () int32
-    point_voxel_id: jax.Array  # (P,) int32 voxel slot per point; -1 dropped
+    # voxel slot per point, -1 dropped. "sort": over-cap points within a
+    # kept voxel are -1 (dropped, like hard_voxelize); "bitrank": every
+    # point of a kept voxel keeps its slot id (no per-voxel point cap).
+    point_voxel_id: jax.Array  # (P,) int32
     # method="bitrank" only: the packed word-rank occupancy table
     # (num_blocks(table_cells), 16) int32 — attach to the stage-1
     # SparseTensor so build_subm_plan skips its pack_keys build.

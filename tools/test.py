@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--set", nargs="*", default=[], dest="overrides")
     p.add_argument("--watch", action="store_true")
     p.add_argument("--max-waiting-mins", type=int, default=30)
+    p.add_argument("--serving-profile", default="exact",
+                   choices=("exact", "tpu_v5e"),
+                   help="numerics profile (df3d/serving.py): 'exact' = "
+                        "reference-exact f32+sort; 'tpu_v5e' = the benched "
+                        "serving config (bf16 conv bodies >=32ch)")
     return p.parse_args()
 
 
@@ -269,7 +274,9 @@ def main():
     args = parse_args()
 
     from df3d.config import apply_preset_overrides, get_preset
+    from df3d.serving import apply_profile
 
+    apply_profile(args.serving_profile)
     preset = get_preset(args.preset)
     if args.overrides:
         preset = apply_preset_overrides(preset, args.overrides)

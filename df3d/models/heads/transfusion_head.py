@@ -8,9 +8,11 @@ num_decoder_layers=1):
   FFN prediction branches -> (train) Hungarian matching + focal/L1/gaussian-
   focal losses, (eval) direct top-200 decode, nms_type=None.
 
-TPU notes: the Hungarian assignment runs as a host pure_callback on the
-(200 x M) cost matrix (scipy linear_sum_assignment) — train-only, tiny, and
-identical to the reference's CPU scipy call (hungarian_assigner.py:93-149).
+TPU notes: the Hungarian assignment is backend-resolved (hungarian_match):
+a host pure_callback to scipy linear_sum_assignment — train-only, tiny, and
+identical to the reference's CPU scipy call (hungarian_assigner.py:93-149)
+— where host callbacks exist, and the in-graph auction (ops/assign.py)
+on relay backends that reject them.
 Everything else is on device with static shapes.
 """
 
@@ -215,21 +217,30 @@ def _hungarian_host(cost: np.ndarray, valid_cols: np.ndarray):
 # "host": scipy linear_sum_assignment via pure_callback (reference-exact,
 # needs a backend that supports host callbacks). "auction": fully in-graph
 # Bertsekas auction (ops/assign.py) — required on backends that cannot
-# host-call out of a compiled graph (e.g. TPU relays) and for fully
-# device-resident multi-host training; matches scipy's optimum up to
-# near-ties.
-ASSIGN_METHOD = "host"
+# host-call out of a compiled graph and for fully device-resident
+# multi-host training; matches scipy's optimum up to near-ties (n*eps
+# bound, tests/test_assign.py). "auto" (default) resolves per backend:
+# the axon TPU relay rejects send/recv callbacks outright (probe 13:
+# "UNIMPLEMENTED: axon_pjrt does not support host send/recv callbacks"),
+# so it gets the auction; cpu/gpu/local-tpu keep reference-exact scipy.
+ASSIGN_METHOD = "auto"
 
 
 def set_assign_method(method: str) -> None:
     global ASSIGN_METHOD
-    assert method in ("host", "auction"), method
+    assert method in ("auto", "host", "auction"), method
     ASSIGN_METHOD = method
+
+
+def _resolved_assign_method() -> str:
+    if ASSIGN_METHOD != "auto":
+        return ASSIGN_METHOD
+    return "auction" if jax.default_backend() == "axon" else "host"
 
 
 def hungarian_match(cost: jax.Array, valid_cols: jax.Array) -> jax.Array:
     """(P, M) cost + (M,) validity -> (P,) matched gt index or -1."""
-    if ASSIGN_METHOD == "auction":
+    if _resolved_assign_method() == "auction":
         from df3d.ops.assign import auction_assign
 
         return auction_assign(cost, valid_cols)

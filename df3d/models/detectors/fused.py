@@ -34,6 +34,10 @@ from .voxel_rcnn import VoxelRCNN, VoxelRCNNConfig
 class FusedConfig:
     image_shape: tuple = (375, 1242)     # KITTI default
     image_branch: str = "deeplabv3"      # 'deeplabv3' | 'resnet_fpn'
+    # ResNet stage depths of the camera backbone (default R50, matching the
+    # reference's deeplabv3_resnet50 / R50+FPN). Smoke/CI configs shrink
+    # this — XLA:CPU SPMD compile of the full R50 train graph costs minutes
+    image_layers: tuple = (3, 4, 6, 3)
     n_levels: int = 3
     num_cams: int = 1
     freeze_image_branch: bool = True
@@ -58,9 +62,12 @@ class ImageBranch(nn.Module):
     def __call__(self, images: jax.Array, train: bool):
         train = train and not self.cfg.freeze_image_branch
         if self.cfg.image_branch == "deeplabv3":
-            feats = SemDeepLabV3(name="sem")(images, train)
+            feats = SemDeepLabV3(
+                backbone_layers=self.cfg.image_layers, name="sem",
+            )(images, train)
             return [feats["layer1"], feats["layer2"], feats["layer3"]][: self.cfg.n_levels]
-        feats = ResNetFPN(name="img")(images, train)
+        feats = ResNetFPN(
+            layers=self.cfg.image_layers, name="img")(images, train)
         return feats[: self.cfg.n_levels]
 
 

@@ -454,3 +454,42 @@ def make_voxelrcnn_eval_step(model, head, cfg, fused: bool = False) -> Callable:
         return out
 
     return eval_step
+
+
+def recalibrate_batch_stats(run_mutable_fwd: Callable, batch_stats,
+                            momentum: float = 0.99):
+    """Exact batch-norm recalibration by momentum inversion.
+
+    Every BN in df3d uses flax-convention momentum 0.99 (torch 0.01 —
+    layers.py MaskedBatchNorm and all nn.BatchNorm calls), so after a few
+    dozen train steps the running averages still sit ~0.99^k of the way
+    back at their init values, and eval-mode outputs diverge badly from
+    train-mode ones (short schedules, fixture tests, fine-tuning). The
+    reference escapes this only by training for epochs; this utility
+    recovers the EXACT batch statistics b of a calibration batch from ONE
+    train-mode mutable pass, because the BN update is affine in b:
+
+        s1 = m * s0 + (1 - m) * b   =>   b = (s1 - m * s0) / (1 - m)
+
+    Train-mode activations do not depend on the running averages, so a
+    single pass recovers every layer's true batch statistics at once.
+
+    run_mutable_fwd: batch_stats_pytree -> updated batch_stats_pytree (a
+    train-mode apply with mutable=["batch_stats"], e.g. wrapping
+    model.apply over a representative batch). Returns recalibrated stats
+    (leafs cast back to the input dtypes; variance floored at 0 against
+    float cancellation).
+    """
+    s1 = run_mutable_fwd(batch_stats)
+
+    flat0, _ = jax.tree_util.tree_flatten_with_path(batch_stats)
+    flat1, treedef = jax.tree_util.tree_flatten_with_path(s1)
+    out = []
+    for (_, old), (path, new) in zip(flat0, flat1):
+        b = (new - momentum * old) / (1.0 - momentum)
+        if any("var" in str(getattr(k, "key", k)) for k in path):
+            # variance must stay non-negative; inversion can go slightly
+            # negative via float cancellation when new ~= m * old
+            b = jnp.maximum(b, 0.0)
+        out.append(b.astype(old.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)

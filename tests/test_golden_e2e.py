@@ -1,0 +1,387 @@
+"""Golden end-to-end regression tests (VERDICT r3 #5): tiny deterministic
+fixture datasets -> short overfit train -> BN recalibration -> checkpoint ->
+the REAL eval CLI (tools/test.py evaluate_once) -> assert stable detection
+metrics.
+
+This is the accuracy ratchet the perf work needs: importers and module-level
+parity can't catch a silent end-to-end accuracy regression (a target-assign
+off-by-one, a decode sign flip, a voxelize semantics change); a golden mAP on
+a committed fixture can. The reference has nothing equivalent — its closest
+is TransFusion/tests/test_models/test_forward.py:1-207 (forward shapes only);
+pcdet/det3d validate only on the full datasets, which this environment does
+not have.
+
+Scenes are synthesized deterministically (fixed RandomState): cars are dense
+uniform point boxes over a sparse ground plane, so a few dozen overfit steps
+from a fixed init measurably learn them. Every metric below goes through the
+same path a user runs: dataset class -> make_batch -> jitted eval step ->
+devkit-faithful evaluator (nuScenes mAP/NDS, KITTI R40 AP + AOS).
+
+Golden values were measured at the commit that introduced this file (forced
+CPU, highest matmul precision, fixed seeds end to end). Tolerances are tight
+enough to catch real regressions (a decode/assign bug zeroes these metrics)
+but leave room for cross-version XLA fusion jitter. If an intentional change
+moves a metric, re-pin the golden in the same commit and say why.
+"""
+
+import json
+import pathlib
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.test_kitti_data import CALIB_TXT
+
+_TOOLS = pathlib.Path(__file__).resolve().parents[1] / "tools"
+
+pytestmark = pytest.mark.slow
+
+
+def _load_test_cli():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "df3d_test_cli", _TOOLS / "test.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _NS:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _box_points(rng, box, n):
+    """Uniform points inside a 7-dof lidar box (gravity-center z, CCW)."""
+    x, y, z, dx, dy, dz, yaw = box
+    local = rng.uniform(-0.5, 0.5, (n, 3)) * np.array([dx, dy, dz])
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, -s], [s, c]])
+    pts = np.empty((n, 3), np.float32)
+    pts[:, :2] = local[:, :2] @ rot.T + np.array([x, y])
+    pts[:, 2] = local[:, 2] + z
+    return pts
+
+
+def _scene_points(rng, boxes, n_per_box, ground_range, n_ground,
+                  ground_z=(-1.9, -1.7)):
+    """Cars as dense point boxes + a sparse ground plane (deterministic)."""
+    clouds = [_box_points(rng, b, n_per_box) for b in boxes]
+    ground = np.concatenate(
+        [rng.uniform(ground_range[0], ground_range[1], (n_ground, 1)),
+         rng.uniform(ground_range[2], ground_range[3], (n_ground, 1)),
+         rng.uniform(*ground_z, (n_ground, 1))], axis=1).astype(np.float32)
+    clouds.append(ground)
+    xyz = np.concatenate(clouds)
+    inten = rng.uniform(0, 1, (len(xyz), 1)).astype(np.float32)
+    return np.concatenate([xyz, inten], axis=1)
+
+
+# --- nuScenes-style CenterPoint ------------------------------------------
+
+CP_FRAMES = [  # two frames, two cars each, fixed poses
+    [(8.0, 4.0, -0.6, 4.2, 1.9, 1.6, 0.3),
+     (-10.0, -6.0, -0.5, 4.6, 2.0, 1.7, -1.2)],
+    [(12.0, -8.0, -0.4, 4.0, 1.8, 1.5, 2.0),
+     (-5.0, 10.0, -0.7, 4.4, 1.9, 1.6, 0.9)],
+]
+
+# measured at introduction (seed-fixed overfit, 60 steps, lr 3e-3):
+# mAP 1.0000, NDS 0.8900 — every gt matched at every center-distance
+# threshold on both frames (NDS < 1 from the velocity/attr error terms).
+CP_GOLDEN_MAP = 1.0
+CP_GOLDEN_NDS = 0.8900
+
+
+def _write_nusc_fixture(tmp_path):
+    root = tmp_path / "nusc"
+    (root / "sweeps").mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    infos = []
+    for i, boxes in enumerate(CP_FRAMES):
+        pts4 = _scene_points(rng, boxes, n_per_box=250,
+                             ground_range=(-24, 24, -24, 24), n_ground=400)
+        # nuScenes .bin layout: 5 float32 per point (x y z i ring)
+        pts5 = np.concatenate(
+            [pts4, np.zeros((len(pts4), 1), np.float32)], axis=1)
+        path = f"sweeps/frame{i}.bin"
+        pts5.tofile(root / path)
+        infos.append({
+            "token": f"t{i}", "lidar_path": path, "sweeps": [],
+            "gt_boxes": np.asarray(boxes, np.float32),
+            "gt_names": np.array(["car"] * len(boxes)),
+            "gt_velocity": np.zeros((len(boxes), 2), np.float32),
+        })
+    info_path = tmp_path / "nusc_infos_val.pkl"
+    with open(info_path, "wb") as f:
+        pickle.dump({"infos": infos}, f)
+    return root, info_path
+
+
+def test_golden_centerpoint_nusc(tmp_path):
+    import jax.numpy as jnp
+    import optax  # noqa: F401  (schedules pull it in)
+
+    from df3d.config import get_preset
+    from df3d.data.nuscenes import NuScenesDataset
+    from df3d.data.pipeline import make_batch
+    from df3d.models.build import build_detector
+    from df3d.ops.voxelize import voxelize_batch
+    from df3d.train.checkpoint import save_checkpoint
+    from df3d.train.schedules import adam_onecycle
+    from df3d.train.trainer import (
+        make_centerpoint_train_step, recalibrate_batch_stats,
+    )
+
+    root, info_path = _write_nusc_fixture(tmp_path)
+    preset = get_preset("centerpoint_tiny_smoke")
+    n_steps = 60
+
+    built = build_detector(preset, adam_onecycle(3e-3, n_steps))
+    dataset = NuScenesDataset(root, info_path)
+    batch_np = make_batch([dataset[0], dataset[1]], 2000, 32,
+                          preset.num_point_features)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("points", "points_valid", "gt_boxes", "gt_classes",
+                      "gt_valid")}
+
+    step = jax.jit(make_centerpoint_train_step(built.model, preset))
+    state = built.state
+    state, logs0 = step(state, batch)
+    first_loss = float(logs0["loss"])
+    for _ in range(n_steps - 1):
+        state, logs = step(state, batch)
+    last_loss = float(logs["loss"])
+    assert np.isfinite(last_loss) and last_loss < 0.5 * first_loss, (
+        first_loss, last_loss)
+
+    # short-schedule BN fix: momentum-0.99 running stats are still ~55% at
+    # init after 60 steps; recover the true batch stats exactly
+    res = voxelize_batch(
+        batch["points"], batch["points_valid"], preset.voxel_size,
+        preset.pc_range, preset.grid_size, preset.max_voxels,
+        preset.max_points_per_voxel)
+
+    def run_fwd(bs):
+        _, upd = built.model.apply(
+            {"params": state.params, "batch_stats": bs},
+            res.features, res.coords, train=True,
+            mutable=["batch_stats", "intermediates"])
+        return upd["batch_stats"]
+
+    state = state.replace(
+        batch_stats=recalibrate_batch_stats(jax.jit(run_fwd),
+                                            state.batch_stats))
+    save_checkpoint(tmp_path / "ckpt", state, step=n_steps)
+
+    out_json = tmp_path / "metrics.json"
+    test_cli = _load_test_cli()
+    args = _NS(
+        preset="centerpoint_tiny_smoke", data_root=str(root),
+        info_path=str(info_path), ckpt=str(tmp_path / "ckpt"),
+        batch_size=1, max_points=2000, image_shape=None, out=str(out_json),
+        tta=None, overrides=[], watch=False, max_waiting_mins=0,
+    )
+    test_cli.evaluate_once(args, preset, tmp_path / "ckpt")
+    metrics = json.loads(out_json.read_text())
+
+    # a decode/assign regression zeroes these; XLA jitter moves them <0.02
+    assert metrics["mAP"] > CP_GOLDEN_MAP - 0.05, metrics["mAP"]
+    assert abs(metrics["NDS"] - CP_GOLDEN_NDS) < 0.05, metrics["NDS"]
+
+
+# --- KITTI-style Voxel R-CNN ----------------------------------------------
+
+TINY_VRC_OVERRIDES = [
+    "pc_range=[0.0, -16.0, -2.4, 32.0, 16.0, 2.4]",
+    "voxel_size=[0.5, 0.5, 0.2]",
+    "grid_size=[24, 64, 64]",
+    # eval-CLI smoke uses 512, but the golden fixture needs honest caps:
+    # before the fixture was frustum-pre-cropped, the uncropped EVAL cloud
+    # dilated to 1103 stage-2 cells (vs 839 train) and a 1024 cap silently
+    # dropped cells at eval only, zeroing every metric. Kept with headroom
+    # (same rule as the bench caps: max observed x1.1, round up).
+    "max_voxels=2048",
+    "stage_caps=[2048, 1536, 768, 256]",
+    "train_pre_nms=128", "train_post_nms=32",
+    "test_pre_nms=128", "test_post_nms=16",
+    "final_max_boxes=16",
+    "rcnn.grid_size=4",
+    "rcnn.max_local=32",
+    "rcnn.roi_per_image=16",
+]
+
+# camera-frame annos (KITTI convention: location in rect cam, dims l,h,w,
+# bottom-face y); lidar gt derives through camera_box_to_lidar so points,
+# train targets, and eval gt share ONE conversion path
+VRC_FRAMES = [
+    [{"loc": (0.0, 1.2, 12.0), "dim": (3.9, 1.56, 1.6), "ry": 0.05,
+      "bbox": (420.0, 160.0, 560.0, 240.0)},
+     {"loc": (-4.0, 1.3, 20.0), "dim": (4.2, 1.6, 1.7), "ry": -0.6,
+      "bbox": (200.0, 170.0, 300.0, 220.0)}],
+    [{"loc": (3.0, 1.1, 16.0), "dim": (4.0, 1.5, 1.6), "ry": 1.2,
+      "bbox": (600.0, 165.0, 720.0, 230.0)},
+     {"loc": (-2.0, 1.2, 26.0), "dim": (4.1, 1.55, 1.65), "ry": 2.4,
+      "bbox": (330.0, 172.0, 410.0, 212.0)}],
+]
+
+# measured at introduction (seed-fixed overfit, 60 steps, lr 3e-3):
+# every gt recalled at ROI and final stage; R40 3d AP moderate 88.12
+# (boxes overfit well past the 0.7 IoU gate on this fixture).
+VRC_GOLDEN_3D_MODERATE = 88.12
+VRC_GOLDEN_FINAL_RECALL = 1.0
+
+
+def _write_kitti_fixture(tmp_path):
+    from df3d.data.kitti import (
+        camera_box_to_lidar, lidar_to_img_matrix, parse_calib_file,
+    )
+
+    root = tmp_path / "kitti"
+    (root / "training" / "velodyne").mkdir(parents=True)
+    (root / "training" / "image_2").mkdir(parents=True)
+    calib_p = tmp_path / "calib.txt"
+    calib_p.write_text(CALIB_TXT)
+    calib = parse_calib_file(calib_p)
+    proj = lidar_to_img_matrix(calib)
+    rng = np.random.RandomState(11)
+    infos = []
+    for i, objs in enumerate(VRC_FRAMES):
+        idx = f"{i:06d}"
+        cam = np.array(
+            [list(o["loc"]) + list(o["dim"]) + [o["ry"]] for o in objs],
+            np.float32)
+        lidar_boxes = camera_box_to_lidar(cam, calib)
+        pts = _scene_points(
+            rng, [tuple(b) for b in lidar_boxes], n_per_box=400,
+            ground_range=(1, 30, -14, 14), ground_z=(-1.8, -1.6),
+            n_ground=300)
+        # pre-crop the fixture cloud to the camera frustum (same mask as
+        # KittiDataset training-mode FOV_POINTS_ONLY, kitti.py:193): the
+        # dataset crops at TRAIN but not at EVAL, and an overfit tiny model
+        # does not survive the distribution shift — eval-only extra points
+        # cost ~80 AP on this fixture. Pre-cropping makes train and eval
+        # clouds identical by construction, which is what a deterministic
+        # regression ratchet needs.
+        homo = np.concatenate([pts[:, :3], np.ones_like(pts[:, :1])], 1)
+        uvw = homo @ proj.T
+        depth = uvw[:, 2]
+        u = uvw[:, 0] / np.maximum(depth, 1e-6)
+        v = uvw[:, 1] / np.maximum(depth, 1e-6)
+        keep = (depth > 0.1) & (u >= 0) & (u < 1242) & (v >= 0) & (v < 375)
+        pts = pts[keep]
+        assert len(pts) > 800, len(pts)  # cars must stay densely sampled
+        pts.astype(np.float32).tofile(
+            root / "training" / "velodyne" / f"{idx}.bin")
+        from PIL import Image
+
+        img = (rng.rand(96, 320, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            root / "training" / "image_2" / f"{idx}.png")
+        n = len(objs)
+        infos.append({
+            "point_cloud": {"lidar_idx": idx},
+            "calib": {
+                "P2": np.vstack([calib["P2"], [0, 0, 0, 1]]),
+                "R0_rect": np.pad(calib["R0"], ((0, 1), (0, 1))),
+                "Tr_velo_to_cam": np.vstack([calib["V2C"], [0, 0, 0, 1]]),
+            },
+            "image": {"image_shape": np.array([375, 1242])},
+            "annos": {
+                "name": np.array(["Car"] * n),
+                "location": cam[:, :3],
+                "dimensions": cam[:, 3:6],
+                "rotation_y": cam[:, 6],
+                "bbox": np.array([o["bbox"] for o in objs], np.float32),
+                "occluded": np.zeros(n, np.int64),
+                "truncated": np.zeros(n, np.float64),
+                "alpha": cam[:, 6],  # fixture: alpha == ry (AOS exercises it)
+            },
+        })
+    info_path = tmp_path / "kitti_infos_val.pkl"
+    with open(info_path, "wb") as f:
+        pickle.dump(infos, f)
+    return root, info_path
+
+
+def test_golden_voxelrcnn_kitti(tmp_path):
+    import jax.numpy as jnp
+
+    from df3d.config import apply_preset_overrides, get_preset
+    from df3d.data.kitti import KittiDataset
+    from df3d.data.pipeline import make_batch
+    from df3d.models.build import build_detector
+    from df3d.models.detectors.voxel_rcnn import build_anchors, proposal_layer
+    from df3d.ops.voxelize import voxelize_batch
+    from df3d.train.checkpoint import save_checkpoint
+    from df3d.train.schedules import adam_onecycle
+    from df3d.train.trainer import (
+        make_voxelrcnn_train_step, recalibrate_batch_stats,
+    )
+
+    root, info_path = _write_kitti_fixture(tmp_path)
+    preset = apply_preset_overrides(
+        get_preset("voxel_rcnn_car_kitti"), TINY_VRC_OVERRIDES)
+    n_steps = 150
+
+    built = build_detector(preset, adam_onecycle(3e-3, n_steps))
+    dataset = KittiDataset(root, info_path, training=True)
+    batch_np = make_batch([dataset[0], dataset[1]], 2000, 32,
+                          preset.num_point_features)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if k in ("points", "points_valid", "gt_boxes", "gt_classes",
+                      "gt_valid")}
+
+    step = jax.jit(make_voxelrcnn_train_step(built.model, built.head, preset))
+    state = built.state
+    keys = jax.random.split(jax.random.PRNGKey(3), n_steps)
+    state, logs0 = step(state, batch, keys[0])
+    first_loss = float(logs0["loss"])
+    for k in keys[1:]:
+        state, logs = step(state, batch, k)
+    last_loss = float(logs["loss"])
+    assert np.isfinite(last_loss) and last_loss < 0.5 * first_loss, (
+        first_loss, last_loss)
+
+    res = voxelize_batch(
+        batch["points"], batch["points_valid"], preset.voxel_size,
+        preset.pc_range, preset.grid_size, preset.max_voxels,
+        preset.max_points_per_voxel)
+    anchors = build_anchors(preset)
+
+    def run_fwd(bs):
+        preds, upd = built.model.apply(
+            {"params": state.params["rpn"], "batch_stats": bs["rpn"]},
+            res.features, res.coords, train=True,
+            mutable=["batch_stats", "intermediates"])
+        rois, _, mask = proposal_layer(preset, preds, anchors, train=False)
+        _, r_upd = built.head.apply(
+            {"params": state.params["rcnn"], "batch_stats": bs["rcnn"]},
+            rois, mask, preds["ms"], train=True, mutable=["batch_stats"])
+        return {"rpn": upd["batch_stats"], "rcnn": r_upd["batch_stats"]}
+
+    state = state.replace(
+        batch_stats=recalibrate_batch_stats(jax.jit(run_fwd),
+                                            state.batch_stats))
+    save_checkpoint(tmp_path / "ckpt", state, step=n_steps)
+
+    out_json = tmp_path / "metrics.json"
+    test_cli = _load_test_cli()
+    args = _NS(
+        preset="voxel_rcnn_car_kitti", data_root=str(root),
+        info_path=str(info_path), ckpt=str(tmp_path / "ckpt"),
+        batch_size=1, max_points=2000, image_shape=None, out=str(out_json),
+        tta=None, overrides=[], watch=False, max_waiting_mins=0,
+    )
+    test_cli.evaluate_once(args, preset, tmp_path / "ckpt")
+    metrics = json.loads(out_json.read_text())
+
+    assert metrics["final_recall_0.5"] >= VRC_GOLDEN_FINAL_RECALL - 1e-6, (
+        metrics)
+    assert abs(metrics["Car_3d_moderate"] - VRC_GOLDEN_3D_MODERATE) < 8.0, (
+        metrics["Car_3d_moderate"])
+    assert metrics["Car_bev_moderate"] > 50.0  # absolute floor

@@ -35,18 +35,23 @@ def main():
     from df3d.train.schedules import adam_onecycle
     from df3d.train.trainer import TrainState, make_fused_train_step
 
+    from bench import REALISTIC_STAGE_CAPS
+
     rng = np.random.RandomState(0)
-    tcfg = TransFusionConfig()
+    # round 4: realistic fitted caps (matches the bench fused section); the
+    # r3 attempt at saturated caps never ran — axon_pjrt cannot host-call,
+    # and hungarian_match now auto-resolves to the in-graph auction there
+    tcfg = TransFusionConfig(
+        max_voxels=REALISTIC_STAGE_CAPS[0], stage_caps=REALISTIC_STAGE_CAPS)
     fcfg = FusedConfig(
         image_shape=(448, 800), image_branch="resnet_fpn", num_cams=6,
         actr=ACTRConfig(n_levels=3, model_name="ACTRv2", hybrid=True),
     )
 
+    from df3d.utils.synth import make_raycast_frame
+
     num_points = 260_000
-    pts = np.concatenate(
-        [rng.uniform(-54, 54, (1, num_points, 2)),
-         rng.uniform(-5, 3, (1, num_points, 1)),
-         rng.uniform(0, 1, (1, num_points, 2))], -1).astype(np.float32)
+    pts = make_raycast_frame(np.random.RandomState(100), num_points)[None]
     images = jnp.asarray(rng.rand(1, 6, 448, 800, 3).astype(np.float32))
     proj = np.zeros((1, 6, 3, 4), np.float32)
     proj[:, :] = np.array([[1266.0, 0.0, 400.0, 0.2],

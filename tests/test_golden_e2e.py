@@ -198,21 +198,30 @@ def test_golden_centerpoint_nusc(tmp_path):
 
 TINY_VRC_OVERRIDES = [
     "pc_range=[0.0, -16.0, -2.4, 32.0, 16.0, 2.4]",
-    "voxel_size=[0.5, 0.5, 0.2]",
-    "grid_size=[24, 64, 64]",
+    # 0.25 m voxels (was 0.5): at 0.5 the conv2/3/4 lattices are 1/2/4 m and
+    # the RCNN pool radii (0.4/0.8/1.6 m — lattice-proportional to the
+    # reference's 0.05 m voxels) starve every ball query: measured 53-83%
+    # of ROI grid points had ZERO neighbors and mean occupancy was 0.03 of
+    # nsample (tools/probes/dbg_vrc_pool_occupancy.py), so the refinement
+    # stage regressed from empty pools and never reached 0.7 IoU. Radii are
+    # rescaled to the same lattice proportions in tiny_vrc_preset().
+    "voxel_size=[0.25, 0.25, 0.2]",
+    "grid_size=[24, 128, 128]",
     # eval-CLI smoke uses 512, but the golden fixture needs honest caps:
     # before the fixture was frustum-pre-cropped, the uncropped EVAL cloud
     # dilated to 1103 stage-2 cells (vs 839 train) and a 1024 cap silently
     # dropped cells at eval only, zeroing every metric. Kept with headroom
-    # (same rule as the bench caps: max observed x1.1, round up).
+    # (same rule as the bench caps: max observed x1.1, round up); the train
+    # step logs cap_overflow — it stays 0 on this fixture.
     "max_voxels=2048",
-    "stage_caps=[2048, 1536, 768, 256]",
+    "stage_caps=[2048, 2048, 1024, 512]",
     "train_pre_nms=128", "train_post_nms=32",
     "test_pre_nms=128", "test_post_nms=16",
     "final_max_boxes=16",
     "rcnn.grid_size=4",
-    "rcnn.max_local=32",
+    "rcnn.max_local=128",
     "rcnn.roi_per_image=16",
+    "rcnn.coarse_radius=6.0",
 ]
 
 # camera-frame annos (KITTI convention: location in rect cam, dims l,h,w,
@@ -234,6 +243,27 @@ VRC_FRAMES = [
 # (boxes overfit well past the 0.7 IoU gate on this fixture).
 VRC_GOLDEN_3D_MODERATE = 88.12
 VRC_GOLDEN_FINAL_RECALL = 1.0
+
+
+def tiny_vrc_preset():
+    """The fixture-scale VoxelRCNN preset shared by the golden test and the
+    dbg_golden_vrc / dbg_vrc_pool_occupancy probes.
+
+    Pool radii scale with the voxel: the reference's 0.4/0.8/1.6 m radii are
+    4 lattice units of its (0.05 m, ds 2/4/8) grids; at the fixture's 0.25 m
+    voxels the same proportion is 1.0/2.0/4.0 m (see TINY_VRC_OVERRIDES
+    comment for the starvation measurement that motivated this)."""
+    import dataclasses
+
+    from df3d.config import apply_preset_overrides, get_preset
+
+    preset = apply_preset_overrides(
+        get_preset("voxel_rcnn_car_kitti"), TINY_VRC_OVERRIDES)
+    scales = tuple(
+        dataclasses.replace(s, radius=r)
+        for s, r in zip(preset.rcnn.scales, (1.0, 2.0, 4.0)))
+    return dataclasses.replace(
+        preset, rcnn=dataclasses.replace(preset.rcnn, scales=scales))
 
 
 def _write_kitti_fixture(tmp_path):
@@ -311,7 +341,6 @@ def _write_kitti_fixture(tmp_path):
 def test_golden_voxelrcnn_kitti(tmp_path):
     import jax.numpy as jnp
 
-    from df3d.config import apply_preset_overrides, get_preset
     from df3d.data.kitti import KittiDataset
     from df3d.data.pipeline import make_batch
     from df3d.models.build import build_detector
@@ -324,8 +353,7 @@ def test_golden_voxelrcnn_kitti(tmp_path):
     )
 
     root, info_path = _write_kitti_fixture(tmp_path)
-    preset = apply_preset_overrides(
-        get_preset("voxel_rcnn_car_kitti"), TINY_VRC_OVERRIDES)
+    preset = tiny_vrc_preset()
     n_steps = 150
 
     built = build_detector(preset, adam_onecycle(3e-3, n_steps))

@@ -22,9 +22,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp
 
-from tests.test_golden_e2e import (
-    TINY_VRC_OVERRIDES, _write_kitti_fixture,
-)
+from tests.test_golden_e2e import _write_kitti_fixture, tiny_vrc_preset
 
 
 def _iou_recall(dets, gts, thr):
@@ -35,7 +33,6 @@ def _iou_recall(dets, gts, thr):
 
 
 def main():
-    from df3d.config import apply_preset_overrides, get_preset
     from df3d.data.kitti import KittiDataset
     from df3d.data.pipeline import make_batch
     from df3d.models.build import build_detector
@@ -52,8 +49,7 @@ def main():
     root, info_path = _write_kitti_fixture(tmp_path)
     import os
 
-    preset = apply_preset_overrides(
-        get_preset("voxel_rcnn_car_kitti"), TINY_VRC_OVERRIDES)
+    preset = tiny_vrc_preset()
     n_steps = int(os.environ.get("DBG_STEPS", "150"))
     lr = float(os.environ.get("DBG_LR", "3e-3"))
 

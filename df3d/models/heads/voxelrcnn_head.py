@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from df3d.core.box_coders import ResidualCoder
-from df3d.core.boxes import boxes_to_corners_3d, limit_period
+from df3d.core.boxes import boxes_to_corners_3d
 from df3d.core.iou import iou_3d
 from df3d.models.losses import weighted_smooth_l1
 from df3d.ops.roi_ops import collect_local_voxels, grid_ball_query, roi_grid_points
@@ -213,14 +213,25 @@ def sample_rois_for_training(
 
 
 def canonical_reg_targets(rois, gt_of_roi):
-    """Encode gt in the ROI canonical frame (roi_head_template)."""
+    """Encode gt in the ROI canonical frame (roi_head_template.py
+    assign_targets:113-133), INCLUDING the opposite-orientation flip: when
+    the ROI is anti-aligned with its gt (heading delta in (pi/2, 3pi/2)),
+    the gt heading is flipped by pi so the regression target stays in
+    [-pi/2, pi/2]. Boxes are rectangular, so a pi flip is geometrically
+    identical — without it an anti-aligned eval proposal gets a ~pi target
+    the head never learns (r5: a 57-degree heading error on the golden
+    fixture traced to exactly this), and pcdet clamps the residual too."""
     rois_anchor = rois.at[..., 0:3].set(0.0).at[..., 6].set(0.0)
     rel = gt_of_roi.at[..., 0:3].add(-rois[..., 0:3])
     # rotate into roi frame
     from df3d.core.boxes import rotate_points_along_z
 
     xyz = rotate_points_along_z(rel[..., None, 0:3], -rois[..., 6])[..., 0, :]
-    heading = limit_period(rel[..., 6] - rois[..., 6], 0.5, 2 * jnp.pi)
+    h = jnp.mod(rel[..., 6] - rois[..., 6], 2 * jnp.pi)  # [0, 2pi)
+    opposite = (h > jnp.pi * 0.5) & (h < jnp.pi * 1.5)
+    h = jnp.where(opposite, jnp.mod(h + jnp.pi, 2 * jnp.pi), h)
+    h = jnp.where(h > jnp.pi, h - 2 * jnp.pi, h)  # (-pi/2, pi/2)
+    heading = jnp.clip(h, -jnp.pi / 2, jnp.pi / 2)
     local_gt = rel.at[..., 0:3].set(xyz).at[..., 6].set(heading)
     return CODER.encode(local_gt, rois_anchor)
 

@@ -197,6 +197,14 @@ class ConvPlan:
     out_spatial_shape: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     kernel_size: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
     out_rows_sorted: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Submanifold plans: the center tap is the IDENTITY map (gather row r ==
+    # r where valid, else miss) — gather_idx still carries the full K tap
+    # groups (consumers/pallas unchanged), but apply_sparse_conv skips the
+    # center group's gather (1/K of the conv-body gather rows) and applies
+    # W_center as a direct masked matmul instead; the builder also skips
+    # the center's table lookup.
+    center_identity: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
     # strided plans: TRUE dilated output occupancy per sample BEFORE the
     # static cap (spconv never truncates — indice.cc allocates dynamically;
     # this makes df3d's cap overflow observable: overflow = max(0,
@@ -292,10 +300,14 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
         and st.packed_table_grid == tuple(st.spatial_shape)
     )
 
+    k_center = k_total // 2  # offset (0, 0, 0) in row-major order
+
     def one(coords, keys, valid, pre_packed):
         cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
         qs, oks = [], []
         for dz, dy, dx in offs:
+            if (dz, dy, dx) == (0, 0, 0):
+                continue  # identity tap: no lookup needed (spliced below)
             ok_t = valid
             if dz:
                 ok_t = ok_t & (cz + dz >= 0) & (cz + dz < z)
@@ -305,7 +317,7 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
                 ok_t = ok_t & (cx + dx >= 0) & (cx + dx < x)
             qs.append(keys + ((dz * y + dy) * x + dx))
             oks.append(ok_t)
-        q = jnp.stack(qs).reshape(-1)    # (K*N,) tap-major, stays FLAT
+        q = jnp.stack(qs).reshape(-1)  # ((K-1)*N,) tap-major, stays FLAT
         ok = jnp.stack(oks).reshape(-1)
         if use_bitrank:
             if pre_packed is not None:
@@ -320,7 +332,11 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
             rows = _lookup(
                 keys[order], jnp.where(ok, q, _INT_MAX - 1), order, n
             )
-        return rows
+        # splice the identity center tap back at its row-major position so
+        # the emitted plan keeps the full K-tap layout
+        center = jnp.where(valid, jnp.arange(n, dtype=rows.dtype), n)
+        return jnp.concatenate(
+            [rows[: k_center * n], center, rows[k_center * n:]])
 
     # python-unrolled over the (small) batch: vmap's gather batching rule
     # rewrites the transposed-output gather off XLA:TPU's fast path
@@ -343,7 +359,7 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
     idx2d = parts.pop(0) if idx2d is not None else None
     return ConvPlan(
         gather, st.coords, st.spatial_shape, ksize,
-        out_rows_sorted=st.rows_sorted, idx2d=idx2d,
+        out_rows_sorted=st.rows_sorted, idx2d=idx2d, center_identity=True,
     )
 
 
@@ -658,13 +674,39 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
         [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
     ).reshape(b * (n_in + 1), cin)
 
-    # plans are tap-major flat; add per-sample base offsets
-    idx = plan.gather_idx + (
-        jnp.arange(b, dtype=jnp.int32) * (n_in + 1)
-    )[:, None]
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
     )
+    base = (jnp.arange(b, dtype=jnp.int32) * (n_in + 1))[:, None]
+
+    if plan.center_identity:
+        # center tap is the identity (subm plans): skip its gather — apply
+        # W_center as a direct masked matmul (padding rows may carry
+        # non-zero post-BN features, so mask by the plan's own center
+        # validity) and gather only the other K-1 taps
+        kc = k // 2
+        cidx = plan.gather_idx[:, kc * n_out:(kc + 1) * n_out]  # (B, N)
+        cmask = (cidx < n_in).astype(features.dtype)
+        idx_nc = jnp.concatenate(
+            [plan.gather_idx[:, : kc * n_out],
+             plan.gather_idx[:, (kc + 1) * n_out:]], axis=1) + base
+        g = jax.lax.gather(
+            padded, idx_nc.reshape(-1, 1), dnums, slice_sizes=(1, cin),
+            mode="clip",
+        ).reshape(b, k - 1, n_out, cin)
+        w_nc = jnp.concatenate([weights[:kc], weights[kc + 1:]], axis=0)
+        out = jnp.einsum(
+            "bknc,kcd->bnd", g, w_nc,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        out = out + jnp.einsum(
+            "bnc,cd->bnd", features * cmask[..., None], weights[kc],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        return out.astype(features.dtype)
+
+    # plans are tap-major flat; add per-sample base offsets
+    idx = plan.gather_idx + base
     # the (B*K*N, cin) -> (b, k, n_out, cin) reshape only splits the
     # leading dim — no tiling change, unlike reshaping the flat int plan
     g = jax.lax.gather(

@@ -55,6 +55,16 @@ def _transfusion_3ddf():
     }
 
 
+def _transfusion_3ddf_swin():
+    """TransFusion-L + 3D-DF with a Swin-Tiny(+FPN) image branch — the
+    reference README.md:37 row (70.6 mAP / 72.9 NDS, config marked TBD
+    upstream, so the image branch follows mmdet Swin-T + FPN conventions;
+    everything else matches transfusion_3ddf_nusc)."""
+    cfg = _transfusion_3ddf()
+    cfg["image_branch"] = "swin"
+    return cfg
+
+
 def _voxel_rcnn() -> VoxelRCNNConfig:
     return VoxelRCNNConfig()
 
@@ -99,6 +109,7 @@ PRESETS = {
     "centerpoint_3ddf_nusc": _centerpoint_3ddf,
     "transfusion_l_nusc": _transfusion_l,
     "transfusion_3ddf_nusc": _transfusion_3ddf,
+    "transfusion_3ddf_swin_nusc": _transfusion_3ddf_swin,
 }
 
 

@@ -70,8 +70,10 @@ def build_detector(preset, tx, *, image_shape=None, with_aux_seg=False,
         fcfg = FusedConfig(
             image_shape=image_shape, actr=preset["actr"],
             n_levels=preset["actr"].n_levels, num_cams=num_cams,
-            image_branch="resnet_fpn"
-            if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3",
+            image_branch=preset.get(
+                "image_branch",
+                "resnet_fpn"
+                if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3"),
             with_aux_seg=with_aux_seg,
         )
         images = jnp.zeros((1, num_cams, *image_shape, 3))

@@ -33,11 +33,17 @@ from .voxel_rcnn import VoxelRCNN, VoxelRCNNConfig
 @dataclasses.dataclass(frozen=True)
 class FusedConfig:
     image_shape: tuple = (375, 1242)     # KITTI default
-    image_branch: str = "deeplabv3"      # 'deeplabv3' | 'resnet_fpn'
+    # 'deeplabv3' | 'resnet_fpn' | 'swin' (Swin-T + FPN, the README.md:37
+    # TransFusion-L+3D-DF image branch) | 'dla' | 'regnet'
+    image_branch: str = "deeplabv3"
     # ResNet stage depths of the camera backbone (default R50, matching the
     # reference's deeplabv3_resnet50 / R50+FPN). Smoke/CI configs shrink
     # this — XLA:CPU SPMD compile of the full R50 train graph costs minutes
     image_layers: tuple = (3, 4, 6, 3)
+    # Swin branch: per-stage block depths + embed dim (Swin-Tiny defaults);
+    # smoke configs shrink these the way image_layers shrinks ResNet
+    swin_depths: tuple = (2, 2, 6, 2)
+    swin_dim: int = 96
     n_levels: int = 3
     num_cams: int = 1
     freeze_image_branch: bool = True
@@ -66,9 +72,39 @@ class ImageBranch(nn.Module):
                 backbone_layers=self.cfg.image_layers, name="sem",
             )(images, train)
             return [feats["layer1"], feats["layer2"], feats["layer3"]][: self.cfg.n_levels]
-        feats = ResNetFPN(
-            layers=self.cfg.image_layers, name="img")(images, train)
-        return feats[: self.cfg.n_levels]
+        if self.cfg.image_branch == "resnet_fpn":
+            feats = ResNetFPN(
+                layers=self.cfg.image_layers, name="img")(images, train)
+            return feats[: self.cfg.n_levels]
+        if self.cfg.image_branch == "swin":
+            # Swin-T stages at strides 4/8/16/32 + mmdet-style FPN (the
+            # README.md:37 TransFusion-L + 3D-DF Swin-Tiny variant; upstream
+            # ships no config, so this follows mmdet Swin+FPN conventions)
+            from df3d.models.image.resnet import FPN
+            from df3d.models.image.swin import SwinTransformer
+
+            stages = SwinTransformer(
+                embed_dim=self.cfg.swin_dim, depths=self.cfg.swin_depths,
+                name="swin")(images, train)
+            feats = FPN(name="swin_fpn")(stages)
+            return feats[: self.cfg.n_levels]
+        if self.cfg.image_branch == "dla":
+            from df3d.models.image.dla import DLA
+            from df3d.models.image.resnet import FPN
+
+            stages = DLA(name="dla")(images, train)
+            feats = FPN(name="dla_fpn")(stages)
+            return feats[: self.cfg.n_levels]
+        if self.cfg.image_branch == "regnet":
+            from df3d.models.image.regnet import RegNet
+            from df3d.models.image.resnet import FPN
+
+            stages = RegNet(name="regnet")(images, train)
+            feats = FPN(name="regnet_fpn")(stages)
+            return feats[: self.cfg.n_levels]
+        raise ValueError(
+            f"unknown image_branch {self.cfg.image_branch!r}; expected "
+            "'deeplabv3' | 'resnet_fpn' | 'swin' | 'dla' | 'regnet'")
 
 
 class VoxelRCNN3DDF(nn.Module):

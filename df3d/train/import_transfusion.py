@@ -211,3 +211,131 @@ def import_transfusion(variables: dict, torch_sd: dict, **kw) -> dict:
             jax.tree_util.tree_map(np.asarray, variables["batch_stats"]),
             stats),
     }
+
+
+# --- Swin-Tiny image branch (TransFusion-L + 3D-DF Swin variant) -----------
+
+def _swin_merge_perm(arr: np.ndarray, c: int) -> np.ndarray:
+    """Permute a leading 4C axis from the official-Swin PatchMerging
+    sub-patch order [x0(0,0), x1(1,0), x2(0,1), x3(1,1)] (microsoft/Swin
+    models/swin_transformer.py; mmdet converts official ckpts to the same
+    layout) to df3d's reshape-transpose order [(0,0), (0,1), (1,0), (1,1)]
+    (image/swin.py patch merging)."""
+    g = arr.reshape(4, c, *arr.shape[1:])
+    return g[[0, 2, 1, 3]].reshape(arr.shape)
+
+
+def swin_name_map(sd: dict, prefix: str = "img_backbone.",
+                  depths=(2, 2, 6, 2)) -> dict:
+    """mmdet-convention SwinTransformer state dict -> df3d
+    image.swin.SwinTransformer param tree (LayerNorm-only: no BN stats).
+
+    Handles the two packing conventions real checkpoints carry:
+      * window-attention qkv is ONE packed (3C, C) Linear — split along the
+        output into df3d's single Dense(3C) (same q/k/v order, so a plain
+        transpose suffices);
+      * relative_position_bias_table ((2w-1)^2, nH) copies verbatim — df3d
+        indexes it with the identical (2w-1)-based flat index;
+      * PatchMerging's 4C concat order differs from df3d's
+        reshape-transpose merge — reduction/norm weights are group-permuted
+        (see _swin_merge_perm).
+    """
+    p = prefix
+    out: dict = {
+        "patch_embed": {
+            "kernel": conv2d(np.asarray(sd[f"{p}patch_embed.projection.weight"])),
+            "bias": np.asarray(sd[f"{p}patch_embed.projection.bias"]),
+        },
+        "LayerNorm_0": {
+            "scale": np.asarray(sd[f"{p}patch_embed.norm.weight"]),
+            "bias": np.asarray(sd[f"{p}patch_embed.norm.bias"]),
+        },
+    }
+
+    def ln(torch_prefix):
+        return {"scale": np.asarray(sd[f"{torch_prefix}.weight"]),
+                "bias": np.asarray(sd[f"{torch_prefix}.bias"])}
+
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            t = f"{p}stages.{si}.blocks.{bi}"
+            a = f"{t}.attn.w_msa"
+            out[f"stage{si}_block{bi}"] = {
+                "LayerNorm_0": ln(f"{t}.norm1"),
+                "LayerNorm_1": ln(f"{t}.norm2"),
+                "attn": {
+                    "qkv": {
+                        "kernel": linear(np.asarray(sd[f"{a}.qkv.weight"])),
+                        "bias": np.asarray(sd[f"{a}.qkv.bias"]),
+                    },
+                    "rel_bias": np.asarray(
+                        sd[f"{a}.relative_position_bias_table"]),
+                    "proj": {
+                        "kernel": linear(np.asarray(sd[f"{a}.proj.weight"])),
+                        "bias": np.asarray(sd[f"{a}.proj.bias"]),
+                    },
+                },
+                "mlp0": {
+                    "kernel": linear(np.asarray(sd[f"{t}.ffn.layers.0.0.weight"])),
+                    "bias": np.asarray(sd[f"{t}.ffn.layers.0.0.bias"]),
+                },
+                "mlp1": {
+                    "kernel": linear(np.asarray(sd[f"{t}.ffn.layers.1.weight"])),
+                    "bias": np.asarray(sd[f"{t}.ffn.layers.1.bias"]),
+                },
+            }
+        out[f"out_norm{si}"] = ln(f"{p}norm{si}")
+        if si < len(depths) - 1:
+            c = np.asarray(sd[f"{p}stages.{si}.downsample.norm.weight"]).shape[0] // 4
+            out[f"merge_norm{si}"] = {
+                "scale": _swin_merge_perm(
+                    np.asarray(sd[f"{p}stages.{si}.downsample.norm.weight"]), c),
+                "bias": _swin_merge_perm(
+                    np.asarray(sd[f"{p}stages.{si}.downsample.norm.bias"]), c),
+            }
+            out[f"merge{si}"] = {
+                "kernel": _swin_merge_perm(
+                    linear(np.asarray(
+                        sd[f"{p}stages.{si}.downsample.reduction.weight"])), c),
+            }
+    return out
+
+
+def fpn_name_map(sd: dict, prefix: str = "img_neck.", n_ins: int = 4) -> dict:
+    """mmdet FPN (lateral_convs/fpn_convs) -> df3d image.resnet.FPN."""
+    out = {}
+    for i in range(n_ins):
+        out[f"lateral{i}"] = {
+            "kernel": conv2d(np.asarray(sd[f"{prefix}lateral_convs.{i}.conv.weight"])),
+            "bias": np.asarray(sd[f"{prefix}lateral_convs.{i}.conv.bias"]),
+        }
+        out[f"fpn{i}"] = {
+            "kernel": conv2d(np.asarray(sd[f"{prefix}fpn_convs.{i}.conv.weight"])),
+            "bias": np.asarray(sd[f"{prefix}fpn_convs.{i}.conv.bias"]),
+        }
+    return out
+
+
+def import_transfusion_3ddf_swin(variables: dict, torch_sd: dict,
+                                 depths=(2, 2, 6, 2), **kw) -> dict:
+    """Merge a TransFusion+Swin checkpoint into df3d TransFusion3DDF
+    variables: img_backbone.* -> image_branch.swin, img_neck.* ->
+    image_branch.swin_fpn, pts_* -> detector.* (the LiDAR map)."""
+    import jax
+
+    lidar_p, lidar_s = transfusion_name_map(torch_sd, **kw)
+    params = {
+        "detector": lidar_p,
+        "image_branch": {
+            "swin": swin_name_map(torch_sd, depths=depths),
+            "swin_fpn": fpn_name_map(torch_sd),
+        },
+    }
+    stats = {"detector": lidar_s}
+    return {
+        "params": merge_into(
+            jax.tree_util.tree_map(np.asarray, variables["params"]), params),
+        "batch_stats": merge_into(
+            jax.tree_util.tree_map(np.asarray, variables["batch_stats"]),
+            stats),
+    }

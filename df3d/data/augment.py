@@ -157,6 +157,30 @@ def bev_overlap_exists(boxes_a, boxes_b) -> np.ndarray:
     return out
 
 
+def put_boxes_on_road_plane(boxes: np.ndarray, plane, calib: dict):
+    """Lift sampled boxes onto the per-frame road plane (pcdet
+    database_sampler.py:147-166 put_boxes_on_road_planes, used by the
+    KITTI configs with USE_ROAD_PLANE).
+
+    boxes (N, 7+) lidar (gravity-center z); plane (4,) [a, b, c, d] in the
+    rectified CAMERA frame (KITTI planes/*.txt convention, ax+by+cz+d=0);
+    calib dict with R0/V2C. Returns (adjusted boxes, mv_height (N,)) —
+    subtract mv_height from each box's db points' z too.
+    """
+    from df3d.data.kitti import lidar_to_rect, rect_to_lidar
+
+    a, b, c, d = (float(v) for v in plane)
+    center_cam = lidar_to_rect(calib, boxes[:, 0:3].astype(np.float32))
+    cur_height_cam = (-d - a * center_cam[:, 0] - c * center_cam[:, 2]) / b
+    center_cam = center_cam.copy()
+    center_cam[:, 1] = cur_height_cam
+    cur_lidar_height = rect_to_lidar(calib, center_cam)[:, 2]
+    mv_height = boxes[:, 2] - boxes[:, 5] / 2 - cur_lidar_height
+    out = boxes.copy()
+    out[:, 2] -= mv_height
+    return out, mv_height
+
+
 class GTSampler:
     """GT-database ('copy-paste') augmentation.
 
@@ -165,17 +189,23 @@ class GTSampler:
     sample_groups: {class_name: target_count}
     Mirrors pcdet DataBaseSampler semantics: sample to reach target counts,
     reject samples whose boxes collide (BEV) with existing or already-placed
-    boxes.
+    boxes. With use_road_plane (pcdet USE_ROAD_PLANE), sampled boxes and
+    their points are lifted onto the frame's road plane when the call
+    provides one (the reference skips it for the camera-aware path —
+    database_sampler.py:246 `and not self.aug_with_img` — so image-paste
+    callers simply don't pass a plane).
     """
 
     def __init__(self, db_infos: dict, sample_groups: dict,
-                 min_points: int = 5, root: str | None = None):
+                 min_points: int = 5, root: str | None = None,
+                 use_road_plane: bool = False):
         self.db = {
             k: [i for i in v if i.get("num_points", min_points) >= min_points]
             for k, v in db_infos.items()
         }
         self.groups = sample_groups
         self.root = root
+        self.use_road_plane = use_road_plane
 
     def _load_points(self, info):
         import pathlib
@@ -188,11 +218,13 @@ class GTSampler:
         pts = np.fromfile(p, dtype=np.float32)
         return pts.reshape(-1, info.get("num_features", 4))
 
-    def __call__(self, points, gt_boxes, gt_names, rng):
+    def __call__(self, points, gt_boxes, gt_names, rng,
+                 road_plane=None, calib=None):
         """-> (points, gt_boxes, gt_names, sampled_infos) where
         sampled_infos are the db entries of the objects actually placed
         (ordered like the appended boxes) — the image-paste branch reads
-        stored crops from them."""
+        stored crops from them. road_plane + calib (both required) enable
+        the road-plane lift when use_road_plane is set."""
         placed_boxes = [] if gt_boxes is None else [gt_boxes]
         new_points, new_boxes, new_names, new_infos = [], [], [], []
         for cls, target in self.groups.items():
@@ -237,6 +269,12 @@ class GTSampler:
         if not new_boxes:
             return points, gt_boxes, gt_names, []
         add_boxes = np.stack(new_boxes)
+        if (self.use_road_plane and road_plane is not None
+                and calib is not None):
+            add_boxes, mv_height = put_boxes_on_road_plane(
+                add_boxes, road_plane, calib)
+            for i, obj in enumerate(new_points):
+                obj[:, 2] -= mv_height[i]
         # remove scene points inside pasted boxes (pcdet remove_points_in_boxes3d)
         points = _remove_points_in_boxes(points, add_boxes[:, :7])
         points = np.concatenate([points] + new_points)

@@ -205,7 +205,18 @@ class KittiDataset:
             keep = (depth > 0.1) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
         return points[keep]
 
-    def load_points(self, idx: str) -> np.ndarray:
+    def load_road_plane(self, idx: str):
+        """planes/<idx>.txt -> normalized (4,) [a, b, c, d] in the rect
+        camera frame, normal facing up, or None if absent (pcdet
+        kitti_dataset.py get_road_plane:113-129)."""
+        path = self.root / self.split_dir / "planes" / f"{idx}.txt"
+        if not path.exists():
+            return None
+        lines = path.read_text().splitlines()
+        plane = np.asarray([float(v) for v in lines[3].split()], np.float32)
+        if plane[1] > 0:  # normal must face up (rect cam: -y is up)
+            plane = -plane
+        return plane / np.linalg.norm(plane[0:3])
         path = self.root / self.split_dir / "velodyne" / f"{idx}.bin"
         if self._cpp is not None:
             return self._cpp.read_point_bin(str(path), 4)
@@ -233,6 +244,12 @@ class KittiDataset:
             "calib": calib,
             "image_shape": image_shape,
         }
+        if self.training:
+            # per-frame road plane for gt-sampling (pcdet kitti_dataset.py
+            # get_road_plane:113-129; optional planes/ folder)
+            plane = self.load_road_plane(sample_idx)
+            if plane is not None:
+                out["road_plane"] = plane
         if self.load_images:
             # pcdet get_image (kitti_dataset.py:68-78): RAW uint8 at
             # original resolution + original-resolution proj, so the

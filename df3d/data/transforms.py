@@ -39,7 +39,13 @@ def make_train_transform(
 
         if gt_sampler is not None:
             n_before = 0 if boxes is None else len(boxes)
-            points, boxes, names, infos = gt_sampler(points, boxes, names, rng)
+            # road-plane lift only on the LiDAR-only path (the reference
+            # disables it when image-pasting — database_sampler.py:246)
+            points, boxes, names, infos = gt_sampler(
+                points, boxes, names, rng,
+                road_plane=(None if image_paste
+                            else sample.get("road_plane")),
+                calib=sample.get("calib"))
             if (
                 image_paste and "image" in sample and "proj" in sample
                 and boxes is not None and len(boxes) > n_before

@@ -161,3 +161,70 @@ def test_make_train_transform_end_to_end(tmp_path):
     assert "aug_params" in out
     assert out["gt_classes"].dtype == np.int32
     assert out["points"].shape[1] == 4
+
+
+def test_put_boxes_on_road_plane_tilted():
+    """Sampled boxes land EXACTLY on a synthetic tilted plane (VERDICT r4
+    #6). Axis-permutation calib (cam x=-lidar y, cam y=-lidar z,
+    cam z=lidar x) makes the expected height closed-form: the plane
+    a*xc + b*yc + c*zc + d = 0 at (xc, zc) = (-y, x) gives
+    yc = -(a*(-y) + c*x + d)/b and the box bottom must sit at -yc."""
+    calib = {
+        "R0": np.eye(3, dtype=np.float32),
+        "V2C": np.array([[0, -1, 0, 0],
+                         [0, 0, -1, 0],
+                         [1, 0, 0, 0]], np.float32),
+    }
+    # tilted plane in rect cam coords, normal facing up (b < 0)
+    a, b, c, d = 0.05, -0.99, 0.08, 1.7
+    plane = np.array([a, b, c, d], np.float32)
+    plane = plane / np.linalg.norm(plane[:3])
+    a, b, c, d = plane
+    boxes = np.array(
+        [[10.0, 2.0, 0.5, 4.0, 1.8, 1.5, 0.3],
+         [25.0, -6.0, -2.0, 3.8, 1.6, 1.4, -1.0]], np.float32)
+    out, mv = A.put_boxes_on_road_plane(boxes.copy(), plane, calib)
+    for i in range(len(boxes)):
+        x, y = boxes[i, 0], boxes[i, 1]
+        yc = -(a * (-y) + c * x + d) / b  # cam height ON the plane
+        want_bottom = -yc                 # lidar z of the plane there
+        got_bottom = out[i, 2] - out[i, 5] / 2
+        np.testing.assert_allclose(got_bottom, want_bottom, atol=1e-5)
+    # x/y/dims/heading untouched; mv is the applied z shift
+    np.testing.assert_allclose(out[:, :2], boxes[:, :2], atol=0)
+    np.testing.assert_allclose(out[:, 3:], boxes[:, 3:], atol=0)
+    np.testing.assert_allclose(boxes[:, 2] - out[:, 2], mv, atol=1e-6)
+
+
+def test_gt_sampler_road_plane_moves_points(tmp_path):
+    rng = np.random.RandomState(3)
+    obj = rng.randn(30, 4).astype(np.float32) * 0.3
+    np.save(tmp_path / "obj.npy", obj)
+    box = np.array([20.0, 0.0, 3.0, 4, 2, 1.5, 0], np.float32)  # floats high
+    db = {"Car": [{"path": "obj.npy", "num_points": 30,
+                   "box3d_lidar": box}]}
+    calib = {
+        "R0": np.eye(3, dtype=np.float32),
+        "V2C": np.array([[0, -1, 0, 0],
+                         [0, 0, -1, 0],
+                         [1, 0, 0, 0]], np.float32),
+    }
+    plane = np.array([0.0, -1.0, 0.0, 1.7], np.float32)  # flat road z=-1.7
+    sampler = A.GTSampler(db, {"Car": 1}, root=tmp_path, use_road_plane=True)
+    pts = rng.uniform(-10, 10, (100, 4)).astype(np.float32)
+    out_p, out_b, out_n, infos = sampler(
+        pts.copy(), None, None, rng, road_plane=plane, calib=calib)
+    assert len(out_b) == 1
+    np.testing.assert_allclose(
+        out_b[0, 2] - out_b[0, 5] / 2, -1.7, atol=1e-5)
+    # pasted object points moved by the same z shift as the box
+    shift = box[2] - out_b[0, 2]
+    pasted = out_p[len(out_p) - 30:]
+    np.testing.assert_allclose(
+        pasted[:, 2], obj[:, 2] + box[2] - shift, atol=1e-5)
+    # without use_road_plane the plane is ignored
+    sampler2 = A.GTSampler(db, {"Car": 1}, root=tmp_path)
+    _, b2, _, _ = sampler2(
+        pts.copy(), None, None, np.random.RandomState(3),
+        road_plane=plane, calib=calib)
+    np.testing.assert_allclose(b2[0, 2], box[2], atol=0)

@@ -213,24 +213,7 @@ def main():
     # both timing loops, so the best-of-2 choice is auditable (ADVICE r2)
     result["fps_runs"] = fps_runs
 
-    # --- reference-exact numerics (f32 convs + sort hard_voxelize), same
-    # frames + caps: the like-for-like A/B that gates the serving defaults
-    # (ADVICE r3 medium). Skipped only when the headline ran exact already.
-    if not smoke and _remaining() > 420 and (
-            result["headline_config"] != "exact+sort_vox"):
-        try:
-            apply_profile("exact")
-            exact_fps, exact_runs, _ = centerpoint_fps(
-                real_cfg, real_frames, iters=10, vox="sort")
-            result["fps_exact_semantics"] = exact_fps
-            result["vs_baseline_exact"] = round(exact_fps / 11.0, 3)
-            result["fps_exact_runs"] = exact_runs
-        except Exception as e:  # pragma: no cover
-            result["exact_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-        finally:
-            apply_profile(profile.name)
-
-    # --- saturated workload (rounds 1-2 conditions, for comparability) ---
+    # saturated-workload inputs (also reused by the train section)
     sat_caps = ((16_000, 12_000, 8_000, 4_000) if smoke
                 else (120_000, 90_000, 55_000, 30_000))
     cfg = CenterPointConfig(max_voxels=sat_caps[0], stage_caps=sat_caps)
@@ -245,75 +228,22 @@ def main():
     ).astype(np.float32)
     points = jnp.asarray(pts)
     valid = jnp.ones(points.shape[:2], bool)
-    if smoke or _remaining() > 420:
+
+    if smoke:  # train/fused/KITTI sections are separately tested
         try:
             sat_fps, sat_runs, _ = centerpoint_fps(
-                cfg, [(points, valid)], iters=2 if smoke else 10)
+                cfg, [(points, valid)], iters=2)
             result["fps_saturated_caps"] = sat_fps
             result["vs_baseline_saturated"] = round(sat_fps / 11.0, 3)
             result["fps_saturated_runs"] = sat_runs
         except Exception as e:  # pragma: no cover
             result["saturated_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    if smoke:  # train/fused sections are separately tested; keep smoke fast
         _emit(result)
         return
 
-    # training throughput (driver-visible; guarded so a failure or slow
-    # compile can never lose the headline metric). Runs under the EXACT
-    # profile: the serving bf16 globals are inference-only — r4 bench run 1
-    # showed the bf16 conv outputs reaching the dense tail break the train
-    # step's backward (conv_general_dilated dtype mismatch), and training
-    # numerics should match the reference's f32 anyway.
-    try:
-        apply_profile("exact")
-        from df3d.train.schedules import adam_onecycle
-        from df3d.train.trainer import (
-            create_centerpoint_state, make_centerpoint_train_step,
-        )
-
-        rng2 = np.random.RandomState(1)
-        for bs in (1, 2):
-            if _remaining() < 420:
-                break
-            tr_pts = jnp.asarray(np.tile(pts, (bs, 1, 1)))
-            tr_valid = jnp.ones(tr_pts.shape[:2], bool)
-            m = 64
-            batch = {
-                "points": tr_pts,
-                "points_valid": tr_valid,
-                "gt_boxes": jnp.asarray(
-                    np.concatenate(
-                        [rng2.uniform(-50, 50, (bs, m, 2)),
-                         rng2.uniform(-2, 0, (bs, m, 1)),
-                         rng2.uniform(1, 5, (bs, m, 3)),
-                         rng2.uniform(-3, 3, (bs, m, 1)),
-                         rng2.uniform(-2, 2, (bs, m, 2))], -1,
-                    ).astype(np.float32)
-                ),
-                "gt_classes": jnp.asarray(
-                    rng2.randint(0, 10, (bs, m)).astype(np.int32)),
-                "gt_valid": jnp.ones((bs, m), bool),
-            }
-            if bs == 1:
-                tx = adam_onecycle(1e-3, 100)
-                model_t, state = create_centerpoint_state(
-                    cfg, jax.random.PRNGKey(0), tx, tr_pts[:1, :4096])
-                step = jax.jit(make_centerpoint_train_step(model_t, cfg))
-            state_b = state
-            state_b, logs = step(state_b, batch)  # compile + warmup
-            float(logs["loss"])
-            t0 = time.perf_counter()
-            n = 3
-            for _ in range(n):
-                state_b, logs = step(state_b, batch)
-                float(logs["loss"])
-            result[f"train_step_sec_bs{bs}"] = round(
-                (time.perf_counter() - t0) / n, 3)
-    except Exception as e:  # pragma: no cover
-        result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
-    finally:
-        apply_profile(profile.name)
+    # --- Section order (VERDICT r4 #3): the fused, train, and KITTI
+    # sections come BEFORE the exact/saturated A/Bs so a budget expiry
+    # trims comparability numbers, not primary coverage metrics. ---
 
     # fused-model forward (TransFusion-3DDF, 6 cams 448x800, full scale) —
     # second driver-visible metric so fusion-path regressions show up in
@@ -383,6 +313,129 @@ def main():
             (time.perf_counter() - t0) / fiters * 1000.0, 1)
     except Exception as e:  # pragma: no cover
         result["fused_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # training throughput (driver-visible; guarded so a failure or slow
+    # compile can never lose the headline metric). Runs under the EXACT
+    # profile: the serving bf16 globals are inference-only — r4 bench run 1
+    # showed the bf16 conv outputs reaching the dense tail break the train
+    # step's backward (conv_general_dilated dtype mismatch), and training
+    # numerics should match the reference's f32 anyway.
+    try:
+        apply_profile("exact")
+        from df3d.train.schedules import adam_onecycle
+        from df3d.train.trainer import (
+            create_centerpoint_state, make_centerpoint_train_step,
+        )
+
+        rng2 = np.random.RandomState(1)
+        for bs in (1, 2):
+            if _remaining() < 420:
+                break
+            tr_pts = jnp.asarray(np.tile(pts, (bs, 1, 1)))
+            tr_valid = jnp.ones(tr_pts.shape[:2], bool)
+            m = 64
+            batch = {
+                "points": tr_pts,
+                "points_valid": tr_valid,
+                "gt_boxes": jnp.asarray(
+                    np.concatenate(
+                        [rng2.uniform(-50, 50, (bs, m, 2)),
+                         rng2.uniform(-2, 0, (bs, m, 1)),
+                         rng2.uniform(1, 5, (bs, m, 3)),
+                         rng2.uniform(-3, 3, (bs, m, 1)),
+                         rng2.uniform(-2, 2, (bs, m, 2))], -1,
+                    ).astype(np.float32)
+                ),
+                "gt_classes": jnp.asarray(
+                    rng2.randint(0, 10, (bs, m)).astype(np.int32)),
+                "gt_valid": jnp.ones((bs, m), bool),
+            }
+            if bs == 1:
+                tx = adam_onecycle(1e-3, 100)
+                model_t, state = create_centerpoint_state(
+                    cfg, jax.random.PRNGKey(0), tx, tr_pts[:1, :4096])
+                step = jax.jit(make_centerpoint_train_step(model_t, cfg))
+            state_b = state
+            state_b, logs = step(state_b, batch)  # compile + warmup
+            float(logs["loss"])
+            t0 = time.perf_counter()
+            n = 3
+            for _ in range(n):
+                state_b, logs = step(state_b, batch)
+                float(logs["loss"])
+            result[f"train_step_sec_bs{bs}"] = round(
+                (time.perf_counter() - t0) / n, 3)
+    except Exception as e:  # pragma: no cover
+        result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        apply_profile(profile.name)
+
+    # --- KITTI VoxelRCNN e2e (closes r3 probe 16; VERDICT r4 #3): the
+    # two-stage family gets a driver-visible on-chip latency. Single-sweep
+    # forward-FOV ray-cast frame at the reference operating point
+    # (voxel_rcnn_car.yaml: 0.05 m voxels, 16k voxel cap). ---
+    try:
+        if _remaining() < 360:
+            raise TimeoutError(f"skipped: {_remaining():.0f}s budget left")
+        from df3d.config import get_preset
+        from df3d.train.trainer import make_voxelrcnn_eval_step
+
+        import optax
+
+        from df3d.models.build import build_detector
+
+        kpreset = get_preset("voxel_rcnn_car_kitti")
+        kframe = make_raycast_frame(
+            np.random.RandomState(7), 120_000, extra_features=1,
+            n_sweeps=1, max_range=70.0)
+        # crop to the KITTI forward FOV the config assumes
+        kmask = ((kframe[:, 0] > 0.0) & (kframe[:, 0] < 70.4)
+                 & (np.abs(kframe[:, 1]) < 40.0))
+        k_pts = jnp.asarray(kframe[None])
+        k_valid = jnp.asarray(kmask[None])
+        kb = build_detector(kpreset, optax.adam(1e-4), example_points=4096)
+        k_eval = jax.jit(make_voxelrcnn_eval_step(kb.model, kb.head, kpreset))
+        k_batch = {"points": k_pts, "points_valid": k_valid}
+        float(k_eval(kb.state, k_batch)["scores"].sum())  # compile+warmup
+        kiters = 5
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(kiters):
+            s += k_eval(kb.state, k_batch)["scores"].sum()
+        float(s)
+        result["voxelrcnn_ms_frame"] = round(
+            (time.perf_counter() - t0) / kiters * 1000.0, 1)
+        result["voxelrcnn_workload"] = "raycast_1sweep_kitti_fov"
+    except Exception as e:  # pragma: no cover
+        result["voxelrcnn_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # --- reference-exact numerics (f32 convs + sort hard_voxelize), same
+    # frames + caps: the like-for-like A/B that gates the serving defaults
+    # (ADVICE r3 medium). Skipped only when the headline ran exact already.
+    if _remaining() > 420 and (
+            result["headline_config"] != "exact+sort_vox"):
+        try:
+            apply_profile("exact")
+            exact_fps, exact_runs, _ = centerpoint_fps(
+                real_cfg, real_frames, iters=10, vox="sort")
+            result["fps_exact_semantics"] = exact_fps
+            result["vs_baseline_exact"] = round(exact_fps / 11.0, 3)
+            result["fps_exact_runs"] = exact_runs
+        except Exception as e:  # pragma: no cover
+            result["exact_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            apply_profile(profile.name)
+
+    # --- saturated workload (rounds 1-2 conditions, for comparability) ---
+    if _remaining() > 420:
+        try:
+            sat_fps, sat_runs, _ = centerpoint_fps(
+                cfg, [(points, valid)], iters=10)
+            result["fps_saturated_caps"] = sat_fps
+            result["vs_baseline_saturated"] = round(sat_fps / 11.0, 3)
+            result["fps_saturated_runs"] = sat_runs
+        except Exception as e:  # pragma: no cover
+            result["saturated_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
     result["bench_wall_s"] = round(time.monotonic() - _T0, 1)
     _emit(result)

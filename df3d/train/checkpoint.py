@@ -58,6 +58,18 @@ def restore_latest(ckpt_dir, example_state):
     return state, step
 
 
+def restore_checkpoint(path, example_state):
+    """Restore one specific step_NNNNNNNN checkpoint directory; returns
+    (state, step). Used by the post-train last-N evaluation
+    (pcdet tools/train.py:179-195 repeat_eval_ckpt analog)."""
+    path = pathlib.Path(path).absolute()
+    m = re.fullmatch(r"step_(\d+)", path.name)
+    step = int(m.group(1)) if m else -1
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, example_state)
+    return state, step
+
+
 # ---------------------------------------------------------------------------
 # torch .pth import
 

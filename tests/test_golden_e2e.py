@@ -221,7 +221,11 @@ TINY_VRC_OVERRIDES = [
     "rcnn.grid_size=4",
     "rcnn.max_local=128",
     "rcnn.roi_per_image=16",
-    "rcnn.coarse_radius=6.0",
+    # must cover ROI half-diagonal (~2.3 m for a car) + the largest pool
+    # radius (8.0 m below): collect_local_voxels gathers candidates around
+    # the ROI CENTER, so a smaller coarse radius silently starves the
+    # outermost grid points' ball queries
+    "rcnn.coarse_radius=11.0",
 ]
 
 # camera-frame annos (KITTI convention: location in rect cam, dims l,h,w,
@@ -250,18 +254,23 @@ def tiny_vrc_preset():
     dbg_golden_vrc / dbg_vrc_pool_occupancy probes.
 
     Pool radii scale with the voxel: the reference's 0.4/0.8/1.6 m radii are
-    4 lattice units of its (0.05 m, ds 2/4/8) grids; at the fixture's 0.25 m
-    voxels the same proportion is 1.0/2.0/4.0 m (see TINY_VRC_OVERRIDES
-    comment for the starvation measurement that motivated this)."""
+    4 lattice units of its (0.05 m, ds 2/4/8) grids (VoxelRCNN
+    kitti_dataset.yaml voxel 0.05 -> conv2/3/4 lattices 0.1/0.2/0.4 m); at
+    the fixture's 0.25 m voxels the same 4-unit proportion is 2.0/4.0/8.0 m
+    (ADVICE r4: the earlier 1.0/2.0/4.0 was off by 2x and conv3/4 pools
+    stayed under-filled — see TINY_VRC_OVERRIDES comment for the original
+    starvation measurement). Radii derive from the voxel ratio instead of
+    being hard-coded."""
     import dataclasses
 
     from df3d.config import apply_preset_overrides, get_preset
 
     preset = apply_preset_overrides(
         get_preset("voxel_rcnn_car_kitti"), TINY_VRC_OVERRIDES)
+    ratio = 0.25 / 0.05  # fixture voxel / reference voxel
     scales = tuple(
-        dataclasses.replace(s, radius=r)
-        for s, r in zip(preset.rcnn.scales, (1.0, 2.0, 4.0)))
+        dataclasses.replace(s, radius=s.radius * ratio)
+        for s in preset.rcnn.scales)
     return dataclasses.replace(
         preset, rcnn=dataclasses.replace(preset.rcnn, scales=scales))
 

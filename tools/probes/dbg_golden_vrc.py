@@ -113,6 +113,9 @@ def main():
                 print("   det", np.round(d, 2), f"score={s_:.3f}", flush=True)
             for g in gts:
                 print("   gt ", np.round(g, 2), flush=True)
+            if rois is not None:
+                for r in rois[:6]:
+                    print("   roi", np.round(np.asarray(r), 2), flush=True)
 
     print("=== 1. in-memory state, TRAIN batch (bs2) ===", flush=True)
     report("mem/train", state, batch)

@@ -107,16 +107,19 @@ def build_dataset(args, fused_extra):
     ), False
 
 
-def evaluate_once(args, preset, state_dir):
+def evaluate_once(args, preset, state_dir, ckpt_path=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from df3d.data.pipeline import PrefetchLoader, make_batch
-    from df3d.train.checkpoint import restore_latest
+    from df3d.train.checkpoint import restore_checkpoint, restore_latest
 
     state, eval_step, cfg, family, fused_extra = build_eval(args, preset)
-    state, step_no = restore_latest(state_dir, state)
+    if ckpt_path is not None:  # post-train last-N eval picks specific steps
+        state, step_no = restore_checkpoint(ckpt_path, state)
+    else:
+        state, step_no = restore_latest(state_dir, state)
     if state is None:
         raise SystemExit(f"no checkpoint in {state_dir}")
     eval_step = jax.jit(eval_step)

@@ -50,6 +50,13 @@ def parse_args():
     p.add_argument("--aux-loss", action="store_true",
                    help="fused presets: add the aux image-FG seg + "
                         "voxel/camera consistency losses (ref aux_seg_loss)")
+    p.add_argument("--eval-after", type=int, default=0,
+                   help="after training, evaluate the last N checkpoints "
+                        "through tools/test.py (pcdet train.py:179-195 "
+                        "post-train repeat_eval_ckpt workflow)")
+    p.add_argument("--val-info-path", default=None,
+                   help="info pkl for the post-train eval (defaults to "
+                        "--info-path)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                    help="override the jax backend (e.g. cpu smoke runs "
                         "when no TPU is reachable)")
@@ -250,6 +257,55 @@ def main():
 
     runner = Runner(step, state, args.work_dir, args.epochs)
     runner.run(sharded_iter)
+
+    if args.eval_after > 0 and not args.synthetic:
+        evaluate_last_checkpoints(args, preset)
+
+
+def evaluate_last_checkpoints(args, preset):
+    """Post-train evaluation of the newest N checkpoints (the reference
+    workflow: pcdet tools/train.py:179-195 launches repeat_eval_ckpt over
+    the last num_epochs_to_eval checkpoints after training finishes).
+    Writes work_dir/eval/step_N.json per checkpoint via the real eval CLI."""
+    import importlib.util
+    import json
+    import pathlib
+
+    from df3d.train.checkpoint import list_checkpoints
+
+    spec = importlib.util.spec_from_file_location(
+        "df3d_test_cli", pathlib.Path(__file__).resolve().parent / "test.py")
+    test_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(test_cli)
+
+    ckpt_dir = pathlib.Path(args.work_dir) / "ckpt"
+    eval_dir = pathlib.Path(args.work_dir) / "eval"
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    ckpts = list_checkpoints(ckpt_dir)[-args.eval_after:]
+    if not ckpts:
+        print("eval-after: no checkpoints found", flush=True)
+        return
+
+    class _NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    for step, path in ckpts:
+        out = eval_dir / f"step_{step}.json"
+        eval_args = _NS(
+            preset=args.preset, data_root=args.data_root,
+            info_path=args.val_info_path or args.info_path,
+            ckpt=str(ckpt_dir), batch_size=1, max_points=args.max_points,
+            image_shape=args.image_shape, out=str(out), tta=None,
+            overrides=args.overrides, watch=False, max_waiting_mins=0,
+        )
+        test_cli.evaluate_once(eval_args, preset, ckpt_dir, ckpt_path=path)
+        try:
+            metrics = json.loads(out.read_text())
+            print(f"eval-after step {step}: "
+                  + json.dumps(metrics)[:400], flush=True)
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":

@@ -217,6 +217,8 @@ class KittiDataset:
         if plane[1] > 0:  # normal must face up (rect cam: -y is up)
             plane = -plane
         return plane / np.linalg.norm(plane[0:3])
+
+    def load_points(self, idx: str) -> np.ndarray:
         path = self.root / self.split_dir / "velodyne" / f"{idx}.bin"
         if self._cpp is not None:
             return self._cpp.read_point_bin(str(path), 4)

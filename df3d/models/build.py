@@ -74,6 +74,12 @@ def build_detector(preset, tx, *, image_shape=None, with_aux_seg=False,
                 "image_branch",
                 "resnet_fpn"
                 if isinstance(lidar_cfg, TransFusionConfig) else "deeplabv3"),
+            # smoke/golden configs shrink the camera backbone (full R50
+            # SPMD train graphs take minutes to compile on XLA:CPU)
+            image_layers=tuple(preset.get(
+                "image_layers", FusedConfig.image_layers)),
+            swin_depths=tuple(preset.get(
+                "swin_depths", FusedConfig.swin_depths)),
             with_aux_seg=with_aux_seg,
         )
         images = jnp.zeros((1, num_cams, *image_shape, 3))

@@ -119,8 +119,10 @@ class TransFusionHead(nn.Module):
 
         feat = nn.Conv(d, (3, 3), padding="SAME", name="shared_conv")(bev)
 
-        # dense heatmap branch
-        h = nn.Conv(d, (3, 3), padding="SAME", name="hm_conv0")(feat)
+        # dense heatmap branch (heatmap_head.0 is a ConvModule with BN and
+        # bias='auto' -> conv bias OFF; transfusion_head.py:670-678)
+        h = nn.Conv(d, (3, 3), padding="SAME", use_bias=False,
+                    name="hm_conv0")(feat)
         h = nn.BatchNorm(use_running_average=not train, name="hm_bn")(h)
         h = nn.relu(h)
         dense_heatmap = nn.Conv(

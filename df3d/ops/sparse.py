@@ -170,6 +170,21 @@ def set_plan_table_reuse(flag: bool) -> None:
     PLAN_TABLE_REUSE = flag
 
 
+# Subm-conv center-tap identity optimization (r5): the conv BODY skips the
+# center tap's feature gather and applies W_center as a masked matmul
+# (probe 2: 5.17 vs 5.41 ms per st1 conv — a real if small win). The PLAN
+# side must still LOOK UP all 27 taps: skipping the center lookup and
+# splicing an arange stream into the flat plan re-layouts the hot int
+# stream and TRIPLED every subm plan build (probe 2: st1 34.6 vs 10.6 ms,
+# st2 23.6 vs 6.7 — CLAUDE.md v5e rule 5; same lesson as the r3 x3 paths).
+CENTER_IDENTITY = True
+
+
+def set_center_identity(flag: bool) -> None:
+    global CENTER_IDENTITY
+    CENTER_IDENTITY = flag
+
+
 PALLAS_V2_CONV = False
 
 
@@ -199,10 +214,11 @@ class ConvPlan:
     out_rows_sorted: bool = dataclasses.field(default=False, metadata=dict(static=True))
     # Submanifold plans: the center tap is the IDENTITY map (gather row r ==
     # r where valid, else miss) — gather_idx still carries the full K tap
-    # groups (consumers/pallas unchanged), but apply_sparse_conv skips the
-    # center group's gather (1/K of the conv-body gather rows) and applies
-    # W_center as a direct masked matmul instead; the builder also skips
-    # the center's table lookup.
+    # groups (consumers/pallas unchanged; the BUILDER also still looks all
+    # K up — skipping the center lookup re-layouts the flat stream and
+    # tripled plan builds, r5 probe 2), but apply_sparse_conv skips the
+    # center group's feature gather (1/K of the conv-body rows) and applies
+    # W_center as a direct masked matmul instead (probe 2: small real win).
     center_identity: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
     # strided plans: TRUE dilated output occupancy per sample BEFORE the
@@ -300,14 +316,12 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
         and st.packed_table_grid == tuple(st.spatial_shape)
     )
 
-    k_center = k_total // 2  # offset (0, 0, 0) in row-major order
+    center_identity = CENTER_IDENTITY
 
     def one(coords, keys, valid, pre_packed):
         cz, cy, cx = coords[:, 0], coords[:, 1], coords[:, 2]
         qs, oks = [], []
         for dz, dy, dx in offs:
-            if (dz, dy, dx) == (0, 0, 0):
-                continue  # identity tap: no lookup needed (spliced below)
             ok_t = valid
             if dz:
                 ok_t = ok_t & (cz + dz >= 0) & (cz + dz < z)
@@ -317,7 +331,7 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
                 ok_t = ok_t & (cx + dx >= 0) & (cx + dx < x)
             qs.append(keys + ((dz * y + dy) * x + dx))
             oks.append(ok_t)
-        q = jnp.stack(qs).reshape(-1)  # ((K-1)*N,) tap-major, stays FLAT
+        q = jnp.stack(qs).reshape(-1)    # (K*N,) tap-major, stays FLAT
         ok = jnp.stack(oks).reshape(-1)
         if use_bitrank:
             if pre_packed is not None:
@@ -332,11 +346,7 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
             rows = _lookup(
                 keys[order], jnp.where(ok, q, _INT_MAX - 1), order, n
             )
-        # splice the identity center tap back at its row-major position so
-        # the emitted plan keeps the full K-tap layout
-        center = jnp.where(valid, jnp.arange(n, dtype=rows.dtype), n)
-        return jnp.concatenate(
-            [rows[: k_center * n], center, rows[k_center * n:]])
+        return rows
 
     # python-unrolled over the (small) batch: vmap's gather batching rule
     # rewrites the transposed-output gather off XLA:TPU's fast path
@@ -359,7 +369,8 @@ def build_subm_plan(st: SparseTensor, ksize) -> ConvPlan:
     idx2d = parts.pop(0) if idx2d is not None else None
     return ConvPlan(
         gather, st.coords, st.spatial_shape, ksize,
-        out_rows_sorted=st.rows_sorted, idx2d=idx2d, center_identity=True,
+        out_rows_sorted=st.rows_sorted, idx2d=idx2d,
+        center_identity=center_identity,
     )
 
 

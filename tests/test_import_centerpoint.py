@@ -155,3 +155,33 @@ def test_import_convtranspose_numeric_parity():
         jnp.asarray(x),
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_import_centerpoint_two_way_coverage():
+    """VERDICT r4 #8: every synthesized det3d key consumed, every df3d
+    param/stat leaf written."""
+    from df3d.train.import_centerpoint import centerpoint_name_map
+    from tests.import_cov import TrackingDict, assert_two_way_coverage
+
+    rng = np.random.RandomState(9)
+    pts = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-15, 15, (1, 300, 2)),
+             rng.uniform(-1.8, 1.8, (1, 300, 1)),
+             rng.uniform(0, 1, (1, 300, 1))], -1,
+        ).astype(np.float32)
+    )
+    res = voxelize_batch(
+        pts, jnp.ones((1, 300), bool), TINY.voxel_size, TINY.pc_range,
+        TINY.grid_size, TINY.max_voxels, 5,
+    )
+    model = CenterPoint(TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0), res.features, res.coords, train=False)
+    sd = TrackingDict(_synth_det3d_sd(rng))
+    flax_p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    params, stats = centerpoint_name_map(flax_p, sd, spconv_layout="v1")
+    assert_two_way_coverage(
+        sd, [params, stats],
+        [flax_p,
+         jax.tree_util.tree_map(np.asarray, variables["batch_stats"])])

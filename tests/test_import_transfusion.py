@@ -208,3 +208,33 @@ def test_mha_split_numerics():
                     x_f, x_f)
     np.testing.assert_allclose(
         np.asarray(got).transpose(1, 0, 2), ref.numpy(), atol=2e-5)
+
+
+def test_import_transfusion_two_way_coverage():
+    """VERDICT r4 #8: every synthesized mmdet3d key consumed, every df3d
+    param/stat leaf written — catches name-map drift that the shape spot
+    checks above cannot."""
+    from df3d.train.import_transfusion import transfusion_name_map
+    from tests.import_cov import TrackingDict, assert_two_way_coverage
+
+    rng = np.random.RandomState(5)
+    pts = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-15, 15, (1, 300, 2)),
+             rng.uniform(-1.8, 1.8, (1, 300, 1)),
+             rng.uniform(0, 1, (1, 300, 2))], -1,
+        ).astype(np.float32)
+    )
+    res = voxelize_batch(
+        pts, jnp.ones((1, 300), bool), TINY.voxel_size, TINY.pc_range,
+        TINY.grid_size, TINY.max_voxels, 5,
+    )
+    model = TransFusionL(TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0), res.features, res.coords, train=False)
+    sd = TrackingDict(_synth_mmdet3d_sd(rng, variables))
+    params, stats = transfusion_name_map(sd, num_heads=4)
+    assert_two_way_coverage(
+        sd, [params, stats],
+        [jax.tree_util.tree_map(np.asarray, variables["params"]),
+         jax.tree_util.tree_map(np.asarray, variables["batch_stats"])])

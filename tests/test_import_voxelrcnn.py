@@ -220,3 +220,44 @@ def test_spconv_layout_autodetect():
     t2 = spconv_taps_auto(w2)
     assert t2.shape == (27, 16, 32)
     np.testing.assert_allclose(t2, t1, atol=0)
+
+
+def test_import_voxelrcnn_two_way_coverage():
+    """VERDICT r4 #8: every synthesized pcdet key consumed, every df3d
+    param/stat leaf written, for BOTH stages."""
+    from df3d.train.import_voxelrcnn import voxelrcnn_name_map
+    from tests.import_cov import TrackingDict, assert_two_way_coverage
+
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 31, (1, 400, 1)), rng.uniform(-15, 15, (1, 400, 1)),
+             rng.uniform(-1.8, 1.8, (1, 400, 1)), rng.uniform(0, 1, (1, 400, 1))],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    res = voxelize_batch(
+        pts, jnp.ones((1, 400), bool), TINY.voxel_size, TINY.pc_range,
+        TINY.grid_size, TINY.max_voxels, TINY.max_points_per_voxel,
+    )
+    model = VoxelRCNN(TINY)
+    rpn_vars = model.init(
+        jax.random.PRNGKey(0), res.features, res.coords, train=False)
+    preds0 = model.apply(rpn_vars, res.features, res.coords, train=False)
+    head = VoxelRCNNHead(TINY.rcnn, TINY.voxel_size, TINY.pc_range)
+    rois = jnp.tile(
+        jnp.asarray([[8.0, 0.0, -0.5, 3.9, 1.6, 1.56, 0.2]], np.float32),
+        (TINY.rcnn.roi_per_image, 1),
+    )[None]
+    rcnn_vars = head.init(
+        jax.random.PRNGKey(1), rois, jnp.ones((1, TINY.rcnn.roi_per_image)),
+        preds0["ms"], train=False)
+
+    sd = TrackingDict(_synth_pcdet_sd(rng, rpn_vars, rcnn_vars))
+    rpn_p, rpn_s, rcnn_p, rcnn_s = voxelrcnn_name_map(sd)
+    assert_two_way_coverage(
+        sd, [rpn_p, rpn_s, rcnn_p, rcnn_s],
+        [jax.tree_util.tree_map(np.asarray, rpn_vars["params"]),
+         jax.tree_util.tree_map(np.asarray, rpn_vars["batch_stats"]),
+         jax.tree_util.tree_map(np.asarray, rcnn_vars["params"]),
+         jax.tree_util.tree_map(np.asarray, rcnn_vars["batch_stats"])])

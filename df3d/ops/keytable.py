@@ -119,6 +119,55 @@ def pack_occupancy(occ: jax.Array, cells: int) -> jax.Array:
     return _pack_words(words)
 
 
+MINI_CELLS = 16
+
+
+def pack_mini(occ: jax.Array, cells: int) -> jax.Array:
+    """Dense (cells,) bool occupancy -> 16-cell mini-rank table
+    (ceil(cells/16), 2) int32 rows [exclusive prefix, 16 occupancy bits].
+
+    r5 probe 6: the 64B/448-cell `lookup` runs ~12.6-13 ns/query in real
+    plan-build contexts (regardless of masking, address locality, producer
+    barriers, or finish width — probes 3/4/6); this 8B-row variant runs
+    ~3.8 ns/query with a one-popcount finish, bit-exact. The table is 16x
+    larger per cell (0.5 B/cell), so it suits DOWN-plan output grids
+    (~5 MB at the nuScenes st1->2 output) where the dense occupancy is
+    already materialized — not the 85M-cell stage-1 grid."""
+    pad = (-occ.shape[0]) % MINI_CELLS
+    if pad:
+        occ = jnp.concatenate([occ, jnp.zeros((pad,), occ.dtype)])
+    occ2d = occ.reshape(-1, MINI_CELLS).astype(jnp.int32)
+    bitvals = (jnp.int32(1) << jnp.arange(MINI_CELLS, dtype=jnp.int32))[None]
+    bits = (occ2d * bitvals).sum(-1, dtype=jnp.int32)
+    counts = occ2d.sum(-1, dtype=jnp.int32)
+    pre = jnp.cumsum(counts) - counts
+    return jnp.stack([pre, bits], axis=-1)
+
+
+_ROW_DN_MINI = lax.GatherDimensionNumbers(
+    offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,)
+)
+
+
+def lookup_mini(mini: jax.Array, q: jax.Array, q_ok: jax.Array,
+                miss: int) -> jax.Array:
+    """Rank of each query among present cells via the mini table, or
+    `miss`. Same contract as `lookup`; one 8B row gather + one popcount."""
+    nrow = mini.shape[0]
+    row_id = q >> 4
+    b = jnp.where(q_ok, row_id, nrow)
+    row = lax.gather(
+        mini, b[:, None], _ROW_DN_MINI, slice_sizes=(1, 2), mode="clip"
+    )  # (2, Q) transposed: column slices are contiguous (Q,) vectors
+    row = lax.optimization_barrier(row)
+    j = (q & 15).astype(jnp.uint32)
+    w = lax.bitcast_convert_type(row[1], jnp.uint32)
+    below = w & ((jnp.uint32(1) << j) - jnp.uint32(1))
+    rank = row[0] + lax.population_count(below).astype(jnp.int32)
+    hit = ((w >> j) & jnp.uint32(1)).astype(bool)
+    return jnp.where(q_ok & hit, rank, miss)
+
+
 def lookup(packed: jax.Array, q: jax.Array, q_ok: jax.Array,
            miss: int) -> jax.Array:
     """Rank of each query key among the present keys, or `miss`.

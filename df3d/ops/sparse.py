@@ -487,9 +487,14 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
                             or px + ax * stride[2] >= ksize[2]):
                         continue  # this shift unreachable from this parity
                     occ4 = occ4 | sl[p]
-            packed = keytable.pack_occupancy(occ4.reshape(-1), cells_out)
-            rank = keytable.lookup(
-                packed, jnp.minimum(cand_key, cells_out - 1), live0,
+            # 16-cell mini-rank table (r5 probe 6): the 448-cell/64B-row
+            # lookup runs ~12.6 ns/query in-plan; the 8B-row mini variant
+            # runs ~3.8 ns/query bit-exact AND its build replaces the
+            # ~3 ms pack_occupancy (the mini table is only viable here
+            # because the dense output occupancy is already materialized)
+            mini = keytable.pack_mini(occ4.reshape(-1), cells_out)
+            rank = keytable.lookup_mini(
+                mini, jnp.minimum(cand_key, cells_out - 1), live0,
                 max_out,
             )
             live = live0 & (rank < max_out)
@@ -541,7 +546,12 @@ def build_conv_plan(st: SparseTensor, ksize, stride, padding, max_out: int) -> C
             )
             true_occ = occ4.sum(dtype=jnp.int32)
             # gidx stays FLAT (K*max_out,)
-            return gidx, out_coords, true_occ, packed
+            # no out_packed anymore: the 64B table was a free byproduct of
+            # the rank step's pack_occupancy; with the mini table, packing
+            # it would cost ~3 ms to save the next subm plan's ~0.6-0.9 ms
+            # pack_keys — a strict loss (r5). Reuse still applies to the
+            # voxelizer-produced stage-1 table.
+            return gidx, out_coords, true_occ, None
 
         skey = jnp.sort(cand_key)
         first = jnp.concatenate([jnp.array([True]), skey[1:] != skey[:-1]])

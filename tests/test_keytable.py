@@ -74,3 +74,31 @@ def test_invalid_queries_and_padding_keys():
     got = np.asarray(keytable.lookup(
         packed, jnp.asarray(q), jnp.asarray(q_ok), 5))
     np.testing.assert_array_equal(got, [0, 1, 2, 5, 5])
+
+
+def test_mini_table_matches_lookup():
+    """pack_mini/lookup_mini (r5): bit-exact vs the 448-cell word-rank
+    lookup on random occupancy, including masked queries, misses, and a
+    cell count not divisible by 16."""
+    rng = np.random.RandomState(3)
+    cells = 4003  # deliberately not a multiple of 16
+    occ = rng.rand(cells) < 0.03
+    packed = keytable.pack_occupancy(jnp.asarray(occ), cells)
+    mini = keytable.pack_mini(jnp.asarray(occ), cells)
+    assert mini.shape == ((cells + 15) // 16, 2)
+
+    q = rng.randint(0, cells, 500).astype(np.int32)
+    q_ok = rng.rand(500) > 0.4
+    miss = 10_000
+    want = np.asarray(keytable.lookup(
+        packed, jnp.asarray(q), jnp.asarray(q_ok), miss))
+    got = np.asarray(keytable.lookup_mini(
+        mini, jnp.asarray(q), jnp.asarray(q_ok), miss))
+    np.testing.assert_array_equal(got, want)
+    # ranks agree with a numpy reference on hits
+    cum = np.cumsum(occ) - occ
+    for i in range(500):
+        if q_ok[i] and occ[q[i]]:
+            assert got[i] == cum[q[i]], (i, q[i])
+        else:
+            assert got[i] == miss

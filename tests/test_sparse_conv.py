@@ -10,9 +10,18 @@ import jax.numpy as jnp
 import numpy as np
 
 import df3d.ops.sparse as _sp
+from df3d.ops import keytable
 from df3d.ops.sparse import (
     SparseTensor, apply_sparse_conv, build_conv_plan, build_subm_plan,
 )
+
+
+def _keys_of(coords, shape):
+    """(N, 3) zyx coords -> flat keys (padding rows get 0, masked by the
+    valid flag the caller passes alongside)."""
+    z, y, x = shape
+    c = jnp.maximum(coords, 0)
+    return (c[:, 0] * y + c[:, 1]) * x + c[:, 2]
 
 
 def _random_sparse(rng, batch=2, shape=(8, 12, 12), n=64, cin=5, pad_to=96,
@@ -300,8 +309,10 @@ def test_compute_dtype_min_channels_gate():
 
 
 def test_packed_table_reuse_matches_rebuild():
-    # a strided plan's out_packed, attached to the output SparseTensor,
-    # must give the next subm plan EXACTLY the same gather indices as a
+    # a producer-supplied packed table (e.g. the bitrank voxelizer's; r5:
+    # strided plans no longer emit one — the mini-rank table replaced the
+    # pack_occupancy that produced it for free) attached to a SparseTensor
+    # must give the subm plan EXACTLY the same gather indices as a
     # from-scratch pack_keys build — including when the cap truncates
     # (ranks beyond the row cap clamp to the miss row)
     rng = np.random.RandomState(7)
@@ -309,14 +320,25 @@ def test_packed_table_reuse_matches_rebuild():
                         rows_sorted=True)
     for max_out in (96, 20):  # no-overflow and hard-overflow
         plan = build_conv_plan(st, 3, 2, 1, max_out=max_out)
-        assert plan.out_packed is not None
+        assert plan.out_packed is None  # r5: by design (see build_conv_plan)
+        oz, oy, ox = plan.out_spatial_shape
+        cells = oz * oy * ox
+        # synthesize the producer table from the TRUE (uncapped) occupancy,
+        # exactly like the bitrank voxelizer would over this grid
+        full = build_conv_plan(st, 3, 2, 1, max_out=256)
         feats = jnp.zeros((2, max_out, 4))
+        packed = jnp.stack([
+            keytable.pack_keys(
+                _keys_of(full.out_coords[b], (oz, oy, ox)),
+                full.out_coords[b, :, 0] >= 0, cells)
+            for b in range(2)])
         out_with = SparseTensor(
-            feats, plan.out_coords, plan.out_spatial_shape,
-            rows_sorted=True, packed_table=plan.out_packed,
+            feats, plan.out_coords[:, :max_out], plan.out_spatial_shape,
+            rows_sorted=True, packed_table=packed,
             packed_table_grid=tuple(plan.out_spatial_shape))
         out_without = SparseTensor(
-            feats, plan.out_coords, plan.out_spatial_shape, rows_sorted=True)
+            feats, plan.out_coords[:, :max_out], plan.out_spatial_shape,
+            rows_sorted=True)
         p_with = build_subm_plan(out_with, 3)
         p_without = build_subm_plan(out_without, 3)
         np.testing.assert_array_equal(

@@ -109,10 +109,25 @@ class SpMiddleResNetFHD(nn.Module):
                 DenseConvSpec, DenseTensor, bev_from_dense, densify, sparsify,
             )
 
-            dt = (x_conv3 if isinstance(x_conv3, DenseTensor)
-                  else densify(x_conv3))
-            spec_d4 = DenseConvSpec((3, 3, 3), (2, 2, 2), (0, 1, 1))
-            x = SparseConvBNReLU(c4, subm=False, name="down4")(dt, spec_d4, train)
+            if isinstance(x_conv3, DenseTensor):  # dense_from=3 path
+                spec_d4 = DenseConvSpec((3, 3, 3), (2, 2, 2), (0, 1, 1))
+                x = SparseConvBNReLU(c4, subm=False, name="down4")(
+                    x_conv3, spec_d4, train)
+            else:
+                # hybrid tail (r5 probe 12): run down4 SPARSELY (mini-rank
+                # plan ~1 ms + gather body ~0.3 ms) and densify the 16x
+                # smaller stage-4 grid (0.4 ms) instead of densifying the
+                # 364 MB stage-3 grid for a dense down4 (10.8 -> 4.8 ms).
+                # Reintroduces the n4 cap on the dilated stage-4 set (the
+                # r3 dense-from-down4 form was uncapped); overflow is sown
+                # like every other strided stage and the fitted caps carry
+                # headroom.
+                down4 = build_conv_plan(
+                    x_conv3, 3, 2, (0, 1, 1), max_out=n4)
+                _sow_overflow(self, "down4", down4)
+                x4 = SparseConvBNReLU(c4, subm=False, name="down4")(
+                    x_conv3, down4, train)
+                x = densify(x4)
             spec_s = DenseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1))
             x = SparseBasicBlock(c4, name="res4a")(x, spec_s, train)
             x_conv4 = SparseBasicBlock(c4, name="res4b")(x, spec_s, train)
@@ -197,17 +212,19 @@ class SparseEncoder(nn.Module):
                 if last and i != last_stage:
                     pad = (0, 1, 1) if i == 2 else 1
                     if self.dense_tail and i == last_stage - 1:
-                        # final downsample + last stage on the dense grid
-                        # (see SpMiddleResNetFHD.dense_tail)
+                        # hybrid tail (r5 probe 12, same as
+                        # SpMiddleResNetFHD): sparse final downsample, then
+                        # densify the small last-stage grid for the dense
+                        # residual blocks
                         from df3d.ops.dense3d import DenseConvSpec, densify
 
+                        down = build_conv_plan(
+                            x, 3, 2, pad, max_out=caps[i])
+                        _sow_overflow(self, f"down{i+2}", down)
                         x = SparseConvBNReLU(
                             ch, subm=False, name=f"stage{i}_down"
-                        )(densify(x),
-                          DenseConvSpec((3, 3, 3), (2, 2, 2),
-                                        pad if isinstance(pad, tuple)
-                                        else (pad,) * 3),
-                          train)
+                        )(x, down, train)
+                        x = densify(x)
                         plan = DenseConvSpec((3, 3, 3), (1, 1, 1), (1, 1, 1))
                     else:
                         down = build_conv_plan(x, 3, 2, pad, max_out=caps[i])

@@ -649,6 +649,105 @@ def set_compute_dtype(dtype, min_channels: int = 64):
     _COMPUTE_DTYPE_MIN_CH = min_channels
 
 
+# Gather-based backward for SUBMANIFOLD convs (r5, VERDICT r4 #7): the
+# autodiff transpose of the conv's gather is a scatter-add at 7-13 ns/row
+# (v5e rule 8) — at train time the subm convs' dx scatters dominate the
+# backward (~13M rows at stage 1 alone). Submanifold plans are SYMMETRIC
+# (site i is j's neighbor at tap t iff j is i's neighbor at tap K-1-t,
+# truncation included), so dx is exactly another apply of the SAME plan
+# with reversed-transposed taps: dx = conv(dy, plan, W') with
+# W'_t = W[K-1-t]^T — a 2 ns/row gather. dW re-gathers the inputs (one
+# extra gather instead of storing the 27N x Cin im2col buffer).
+SUBM_BWD_GATHER = True
+
+
+def set_subm_bwd_gather(flag: bool) -> None:
+    global SUBM_BWD_GATHER
+    SUBM_BWD_GATHER = flag
+
+
+_GATHER_DN = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+)
+
+
+def _gather_rows(features, idx, n_per_sample):
+    """Padded per-sample row gather: features (B, N, C), idx (B, M) in
+    [0, N] with N == miss/zero row -> (B, M, C)."""
+    b, n, c = features.shape
+    padded = jnp.concatenate(
+        [features, jnp.zeros((b, 1, c), features.dtype)], axis=1
+    ).reshape(b * (n + 1), c)
+    base = (jnp.arange(b, dtype=jnp.int32) * (n + 1))[:, None]
+    return jax.lax.gather(
+        padded, (idx + base).reshape(-1, 1), _GATHER_DN,
+        slice_sizes=(1, c), mode="clip",
+    ).reshape(b, idx.shape[1] // n_per_sample, n_per_sample, c)
+
+
+def _subm_center_impl(features, weights, gather_idx, precision=None):
+    """Center-identity subm conv forward on raw arrays (see
+    apply_sparse_conv): gather K-1 taps + masked matmul for W_center."""
+    b, n, cin = features.shape
+    k = weights.shape[0]
+    kc = k // 2
+    cidx = gather_idx[:, kc * n:(kc + 1) * n]  # (B, N)
+    cmask = (cidx < n).astype(features.dtype)
+    idx_nc = jnp.concatenate(
+        [gather_idx[:, : kc * n], gather_idx[:, (kc + 1) * n:]], axis=1)
+    g = _gather_rows(features, idx_nc, n)  # (B, K-1, N, Cin)
+    w_nc = jnp.concatenate([weights[:kc], weights[kc + 1:]], axis=0)
+    out = jnp.einsum(
+        "bknc,kcd->bnd", g, w_nc,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    out = out + jnp.einsum(
+        "bnc,cd->bnd", features * cmask[..., None], weights[kc],
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return out.astype(features.dtype)
+
+
+@jax.custom_vjp
+def _subm_conv_sym(features, weights, gather_idx):
+    return _subm_center_impl(features, weights, gather_idx)
+
+
+def _subm_conv_sym_fwd(features, weights, gather_idx):
+    return _subm_center_impl(features, weights, gather_idx), (
+        features, weights, gather_idx)
+
+
+def _subm_conv_sym_bwd(res, dy):
+    features, weights, gather_idx = res
+    dy = dy.astype(features.dtype)
+    b, n, cin = features.shape
+    k = weights.shape[0]
+    kc = k // 2
+    # dx via the symmetric plan: W'_t = W[K-1-t]^T (flip keeps the center
+    # tap central, so the same center-identity impl applies verbatim)
+    w_rev = jnp.flip(weights, axis=0).swapaxes(1, 2)
+    dx = _subm_center_impl(dy, w_rev, gather_idx)
+    # dW: re-gather the inputs (recompute instead of storing the im2col
+    # buffer — ~177 MB at stage-1 scale)
+    cidx = gather_idx[:, kc * n:(kc + 1) * n]
+    cmask = (cidx < n).astype(features.dtype)
+    idx_nc = jnp.concatenate(
+        [gather_idx[:, : kc * n], gather_idx[:, (kc + 1) * n:]], axis=1)
+    g = _gather_rows(features, idx_nc, n)  # (B, K-1, N, Cin)
+    dw_nc = jnp.einsum(
+        "bknc,bnd->kcd", g, dy, preferred_element_type=jnp.float32)
+    dw_c = jnp.einsum(
+        "bnc,bnd->cd", features * cmask[..., None], dy,
+        preferred_element_type=jnp.float32)
+    dw = jnp.concatenate(
+        [dw_nc[:kc], dw_c[None], dw_nc[kc:]], axis=0).astype(weights.dtype)
+    return dx, dw, None
+
+
+_subm_conv_sym.defvjp(_subm_conv_sym_fwd, _subm_conv_sym_bwd)
+
+
 def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
                       precision=None, force_xla: bool = False) -> jax.Array:
     """Gather-GEMM conv body (pull formulation, no scatter).
@@ -701,30 +800,26 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
     base = (jnp.arange(b, dtype=jnp.int32) * (n_in + 1))[:, None]
 
     if plan.center_identity:
-        # center tap is the identity (subm plans): skip its gather — apply
-        # W_center as a direct masked matmul (padding rows may carry
-        # non-zero post-BN features, so mask by the plan's own center
-        # validity) and gather only the other K-1 taps
-        kc = k // 2
-        cidx = plan.gather_idx[:, kc * n_out:(kc + 1) * n_out]  # (B, N)
-        cmask = (cidx < n_in).astype(features.dtype)
-        idx_nc = jnp.concatenate(
-            [plan.gather_idx[:, : kc * n_out],
-             plan.gather_idx[:, (kc + 1) * n_out:]], axis=1) + base
-        g = jax.lax.gather(
-            padded, idx_nc.reshape(-1, 1), dnums, slice_sizes=(1, cin),
-            mode="clip",
-        ).reshape(b, k - 1, n_out, cin)
-        w_nc = jnp.concatenate([weights[:kc], weights[kc + 1:]], axis=0)
-        out = jnp.einsum(
-            "bknc,kcd->bnd", g, w_nc,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        out = out + jnp.einsum(
-            "bnc,cd->bnd", features * cmask[..., None], weights[kc],
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        return out.astype(features.dtype)
+        if SUBM_BWD_GATHER and precision is None:
+            # symmetric-plan custom vjp: the input gradient is computed by
+            # a GATHER with the SAME plan and reversed-transposed taps
+            # instead of autodiff's transpose (a 7-13 ns/row scatter-add)
+            return _subm_conv_sym(features, weights, plan.gather_idx)
+        return _subm_center_impl(features, weights, plan.gather_idx,
+                                 precision)
+
+    # plans are tap-major flat; add per-sample base offsets
+    idx = plan.gather_idx + base
+    # the (B*K*N, cin) -> (b, k, n_out, cin) reshape only splits the
+    # leading dim — no tiling change, unlike reshaping the flat int plan
+    g = jax.lax.gather(
+        padded, idx.reshape(-1, 1), dnums, slice_sizes=(1, cin), mode="clip"
+    ).reshape(b, k, n_out, cin)
+    out = jnp.einsum(
+        "bknc,kcd->bnd", g, weights,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return out.astype(features.dtype)
 
     # plans are tap-major flat; add per-sample base offsets
     idx = plan.gather_idx + base

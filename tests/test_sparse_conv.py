@@ -395,3 +395,35 @@ def test_voxelize_bitrank_table_feeds_subm_plan():
     got = apply_sparse_conv(st.features, plan, w)
     ref = _dense_conv(st.to_dense(), w, (3, 3, 3), 1, 1)
     _check_against_dense(st.coords, got, ref)
+
+
+def test_subm_bwd_gather_matches_autodiff():
+    """The symmetric-plan custom vjp (r5: dx via a gather with reversed-
+    transposed taps, dW via re-gather) must match autodiff through the
+    plain gather formulation — values AND both gradients."""
+    rng = np.random.RandomState(11)
+    st = _random_sparse(rng, rows_sorted=True)
+    plan = build_subm_plan(st, 3)
+    w = jnp.asarray(rng.randn(27, 5, 7).astype(np.float32) * 0.2)
+    feats = st.features
+    tgt = jnp.asarray(rng.randn(2, feats.shape[1], 7).astype(np.float32))
+
+    def loss(f, w_):
+        out = apply_sparse_conv(f, plan, w_)
+        return ((out - tgt) ** 2).sum()
+
+    _sp.set_subm_bwd_gather(True)
+    try:
+        v1, (df1, dw1) = jax.value_and_grad(loss, argnums=(0, 1))(feats, w)
+    finally:
+        _sp.set_subm_bwd_gather(False)
+    try:
+        v0, (df0, dw0) = jax.value_and_grad(loss, argnums=(0, 1))(feats, w)
+    finally:
+        _sp.set_subm_bwd_gather(True)
+
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(df1), np.asarray(df0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw0),
+                               rtol=1e-4, atol=1e-4)

@@ -50,7 +50,11 @@ import numpy as np
 # max_voxels. See PARITY.md round-3 notes.
 REALISTIC_STAGE_CAPS = (102_400, 73_728, 27_648, 10_240)
 
-_BUDGET_S = float(os.environ.get("DF3D_BENCH_BUDGET_S", "1200"))
+# default raised 1200 -> 1500 in r5: the driver tolerated an 1884 s cold
+# run (r5) and a 1426 s one (r4); with the persistent .jax_cache warm the
+# full section list fits well under this, and the extra headroom keeps the
+# KITTI section from being the one skipped after a cold-compile headline
+_BUDGET_S = float(os.environ.get("DF3D_BENCH_BUDGET_S", "1500"))
 _T0 = time.monotonic()
 
 _emit_lock = threading.Lock()

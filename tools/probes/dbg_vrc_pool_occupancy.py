@@ -1,11 +1,16 @@
 """Count RCNN ball-query neighbor occupancy on the VRC golden fixture.
 
-Hypothesis for the golden-VRC failure: pool radii (0.4/0.8/1.6 m) are
-lattice-proportional to the reference's 0.05 m voxels; at the tiny
-fixture's 0.5 m voxels the conv3 (2 m lattice) and conv4 (4 m lattice)
-ball queries find ~zero neighbors, so the RCNN head refines from empty
-pools. This prints mean neighbors per grid point per scale for ROIs
-placed AT the gt boxes.
+Hypothesis (round 4) for the golden-VRC failure: pool radii
+(0.4/0.8/1.6 m) are lattice-proportional to the reference's 0.05 m
+voxels; at the then-fixture's 0.5 m voxels the conv3/conv4 ball queries
+found ~zero neighbors (measured: 53-83% of ROI grid points with ZERO
+neighbors, mean occupancy 0.03 of nsample), so the RCNN head refined
+from empty pools. NOTE (ADVICE r4): those numbers were taken at the
+PRE-FIX config; this script imports tiny_vrc_preset(), which now bakes
+the fixed 0.25 m voxels and the lattice-proportional 2.0/4.0/8.0 m radii
+(r5) — as committed it measures the FIXED config (r5 measurement: every
+grid point fully occupied, 0 empty). Prints mean neighbors per grid
+point per scale for ROIs placed AT the gt boxes.
 """
 
 import pathlib

@@ -237,7 +237,16 @@ def set_assign_method(method: str) -> None:
 def _resolved_assign_method() -> str:
     if ASSIGN_METHOD != "auto":
         return ASSIGN_METHOD
-    return "auction" if jax.default_backend() == "axon" else "host"
+    # NOTE: jax.default_backend() reports "tpu" on the axon relay (the
+    # plugin registers platform "axon" but the devices are plain TPU), so
+    # the r4 check never fired and "auto" kept the host callback — probe
+    # 15 re-hit UNIMPLEMENTED there. The PJRT client's platform_version
+    # ("axon 0.1.0; ...") is the reliable signal.
+    try:
+        ver = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        ver = ""
+    return "auction" if "axon" in str(ver).lower() else "host"
 
 
 def hungarian_match(cost: jax.Array, valid_cols: jax.Array) -> jax.Array:

@@ -80,6 +80,7 @@ def build_detector(preset, tx, *, image_shape=None, with_aux_seg=False,
                 "image_layers", FusedConfig.image_layers)),
             swin_depths=tuple(preset.get(
                 "swin_depths", FusedConfig.swin_depths)),
+            swin_dim=int(preset.get("swin_dim", FusedConfig.swin_dim)),
             with_aux_seg=with_aux_seg,
         )
         images = jnp.zeros((1, num_cams, *image_shape, 3))

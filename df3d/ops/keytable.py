@@ -133,6 +133,7 @@ def pack_mini(occ: jax.Array, cells: int) -> jax.Array:
     larger per cell (0.5 B/cell), so it suits DOWN-plan output grids
     (~5 MB at the nuScenes st1->2 output) where the dense occupancy is
     already materialized — not the 85M-cell stage-1 grid."""
+    occ = occ[:cells]  # honor pack_occupancy's contract on oversized input
     pad = (-occ.shape[0]) % MINI_CELLS
     if pad:
         occ = jnp.concatenate([occ, jnp.zeros((pad,), occ.dtype)])

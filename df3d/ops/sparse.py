@@ -790,15 +790,6 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
         )
         return out[:, :n_out].astype(features.dtype)
 
-    padded = jnp.concatenate(
-        [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
-    ).reshape(b * (n_in + 1), cin)
-
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
-    )
-    base = (jnp.arange(b, dtype=jnp.int32) * (n_in + 1))[:, None]
-
     if plan.center_identity:
         if SUBM_BWD_GATHER and precision is None:
             # symmetric-plan custom vjp: the input gradient is computed by
@@ -808,25 +799,17 @@ def apply_sparse_conv(features: jax.Array, plan: ConvPlan, weights: jax.Array,
         return _subm_center_impl(features, weights, plan.gather_idx,
                                  precision)
 
+    padded = jnp.concatenate(
+        [features, jnp.zeros((b, 1, cin), features.dtype)], axis=1
+    ).reshape(b * (n_in + 1), cin)
+    base = (jnp.arange(b, dtype=jnp.int32) * (n_in + 1))[:, None]
     # plans are tap-major flat; add per-sample base offsets
     idx = plan.gather_idx + base
     # the (B*K*N, cin) -> (b, k, n_out, cin) reshape only splits the
     # leading dim — no tiling change, unlike reshaping the flat int plan
     g = jax.lax.gather(
-        padded, idx.reshape(-1, 1), dnums, slice_sizes=(1, cin), mode="clip"
-    ).reshape(b, k, n_out, cin)
-    out = jnp.einsum(
-        "bknc,kcd->bnd", g, weights,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    return out.astype(features.dtype)
-
-    # plans are tap-major flat; add per-sample base offsets
-    idx = plan.gather_idx + base
-    # the (B*K*N, cin) -> (b, k, n_out, cin) reshape only splits the
-    # leading dim — no tiling change, unlike reshaping the flat int plan
-    g = jax.lax.gather(
-        padded, idx.reshape(-1, 1), dnums, slice_sizes=(1, cin), mode="clip"
+        padded, idx.reshape(-1, 1), _GATHER_DN, slice_sizes=(1, cin),
+        mode="clip",
     ).reshape(b, k, n_out, cin)
     out = jnp.einsum(
         "bknc,kcd->bnd", g, weights,

@@ -216,13 +216,20 @@ def import_transfusion(variables: dict, torch_sd: dict, **kw) -> dict:
 # --- Swin-Tiny image branch (TransFusion-L + 3D-DF Swin variant) -----------
 
 def _swin_merge_perm(arr: np.ndarray, c: int) -> np.ndarray:
-    """Permute a leading 4C axis from the official-Swin PatchMerging
-    sub-patch order [x0(0,0), x1(1,0), x2(0,1), x3(1,1)] (microsoft/Swin
-    models/swin_transformer.py; mmdet converts official ckpts to the same
-    layout) to df3d's reshape-transpose order [(0,0), (0,1), (1,0), (1,1)]
-    (image/swin.py patch merging)."""
-    g = arr.reshape(4, c, *arr.shape[1:])
-    return g[[0, 2, 1, 3]].reshape(arr.shape)
+    """Permute a leading 4C axis from mmdet's PatchMerging layout to
+    df3d's.
+
+    mmdet's PatchMerging (mmdet/models/backbones/swin.py) samples the 2x2
+    sub-patches with nn.Unfold, whose output is CHANNEL-major:
+    index = c*4 + pos with pos = ih*2 + iw over [(0,0),(0,1),(1,0),(1,1)]
+    — and mmdet's swin converter rewrites official microsoft ckpts into
+    this order, so every checkpoint this name map can read (it consumes
+    mmdet key names: stages.*, attn.w_msa, ffn.layers) carries it. df3d's
+    reshape-transpose merge (image/swin.py) is POSITION-major with the
+    same (ih, iw) enumeration: index = pos*C + c. The map is therefore a
+    pure (C, 4) -> (4, C) transpose of the axis."""
+    g = arr.reshape(c, 4, *arr.shape[1:])
+    return g.swapaxes(0, 1).reshape(arr.shape)
 
 
 def swin_name_map(sd: dict, prefix: str = "img_backbone.",

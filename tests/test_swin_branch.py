@@ -220,21 +220,23 @@ def test_import_transfusion_3ddf_swin_coverage():
     assert float(jnp.abs(feats0[0] - feats1[0]).max()) > 1e-6
     assert np.isfinite(np.asarray(feats1[0])).all()
 
-    # (c) the PatchMerging group permutation is the exact inverse of the
-    # layout difference: permuting torch's [x0,x1,x2,x3] concat with
-    # [0,2,1,3] must give df3d's reshape-transpose order
+    # (c) the PatchMerging axis permutation must be the exact inverse of
+    # the layout difference: mmdet's nn.Unfold sampler emits CHANNEL-major
+    # [c*4 + pos] (pos = ih*2 + iw) while df3d's reshape-transpose merge
+    # is POSITION-major [pos*C + c] — a weight row-permuted by
+    # _swin_merge_perm must consume the unfold layout identically to the
+    # unpermuted weight consuming df3d's layout
     c = 4
     x = rng.randn(2, 4, 6, c).astype(np.float32)
-    x0, x1 = x[:, 0::2, 0::2], x[:, 1::2, 0::2]
-    x2, x3 = x[:, 0::2, 1::2], x[:, 1::2, 1::2]
-    torch_cat = np.concatenate([x0, x1, x2, x3], -1)  # official Swin
+    patches = [x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+               x[:, 1::2, 0::2], x[:, 1::2, 1::2]]  # pos = ih*2 + iw
+    torch_unfold = np.stack(patches, -1).reshape(
+        x.shape[0], 2, 3, 4 * c)  # (..., c, pos) flattened -> c*4 + pos
     jx = jnp.asarray(x)
     b, h, w, _ = jx.shape
     df = jx.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
         0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-    # a weight row-permuted by _swin_merge_perm consumes torch_cat features
-    # identically to the unpermuted weight consuming df3d's layout
     wgt = rng.randn(4 * c, 3).astype(np.float32)
     got = np.asarray(df) @ _swin_merge_perm(wgt, c)
-    ref = torch_cat @ wgt
+    ref = torch_unfold @ wgt
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

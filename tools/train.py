@@ -298,6 +298,9 @@ def evaluate_last_checkpoints(args, preset):
             ckpt=str(ckpt_dir), batch_size=1, max_points=args.max_points,
             image_shape=args.image_shape, out=str(out), tta=None,
             overrides=args.overrides, watch=False, max_waiting_mins=0,
+            # the restore template must match the trained param tree: a
+            # --aux-loss run's checkpoints carry aux_seg leaves
+            aux_loss=getattr(args, "aux_loss", False),
         )
         test_cli.evaluate_once(eval_args, preset, ckpt_dir, ckpt_path=path)
         try:
